@@ -1,0 +1,242 @@
+"""On-disk database format — binary-compatible with the reference.
+
+A database is a global info file plus one chunk (chunk 0):
+
+* ``<prefix>metadata``            empty global-info marker
+* ``<prefix>0chars``              encoded sequences (0..20), each padded to x4
+* ``<prefix>0offsets``            uint64 [n+1] char offsets
+* ``<prefix>0lengths``            int32 [n] unpadded lengths, ascending
+* ``<prefix>0headers``            concatenated raw header bytes
+* ``<prefix>0headeroffsets``      uint64 [n+1]
+* ``<prefix>0metadata``           int32 numPartitions, int32 boundaries[],
+                                  uint64 numSequencesPerPartition[]
+
+Layout and semantics mirror /root/reference/src/makedb.cpp:183-276 and
+/root/reference/src/dbdata.cpp:46-116 so databases produced by the reference
+``makedb`` can be searched directly and vice versa.  Like the reference
+loader, we ignore the persisted chunk metadata and recompute the partition
+histogram from the (sorted) lengths.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+
+from ..constants import encode, pad_length
+from .fasta import read_sequences
+
+# Compile-time limits of the reference (/root/reference/src/config.hpp:20-30).
+MAX_SEQUENCES_IN_DB = 2**31 - 2
+MAX_SEQUENCE_LENGTH = 2**31 - 133
+
+I32_MAX = 2**31 - 1
+
+#: Reference length-partition boundaries
+#: (/root/reference/src/length_partitions.hpp:75-113). Only used for the
+#: compatibility metadata file; the TPU engine buckets independently.
+LENGTH_PARTITION_BOUNDARIES = [
+    48, 64, 80, 96, 112, 128, 144, 160, 176, 192, 208, 224, 240, 256,
+    288, 320, 352, 384, 416, 448, 480, 512, 576, 640, 704, 768, 832,
+    896, 960, 1024, 1088, 1152, 1216, 1280, 8000, I32_MAX - 1,
+]
+
+
+def partition_histogram(sorted_lengths: np.ndarray, boundaries=None) -> np.ndarray:
+    """#sequences per length partition; length k in partition i iff
+    boundaries[i-1] < k <= boundaries[i]."""
+    if boundaries is None:
+        boundaries = LENGTH_PARTITION_BOUNDARIES
+    edges = np.asarray(boundaries, dtype=np.int64)
+    pos = np.searchsorted(sorted_lengths, edges + 1, side="left")
+    pos = np.concatenate([[0], pos])
+    return np.diff(pos).astype(np.uint64)
+
+
+class LoadDBError(Exception):
+    pass
+
+
+@dataclass
+class DBData:
+    """A loaded (memory-mapped or in-memory) database chunk."""
+
+    chars: np.ndarray  # int8 [total_padded_chars]
+    offsets: np.ndarray  # uint64 [n+1]
+    lengths: np.ndarray  # int32 [n], ascending
+    headers: np.ndarray  # uint8 [total_header_chars]
+    header_offsets: np.ndarray  # uint64 [n+1]
+
+    @property
+    def num_sequences(self) -> int:
+        return len(self.lengths)
+
+    @property
+    def num_chars(self) -> int:
+        """Total number of *real* residues (excludes padding)."""
+        return int(self.lengths.astype(np.int64).sum())
+
+    @property
+    def num_padded_chars(self) -> int:
+        return len(self.chars)
+
+    def get_header(self, i: int) -> str:
+        a, b = int(self.header_offsets[i]), int(self.header_offsets[i + 1])
+        return bytes(self.headers[a:b]).decode("latin-1", errors="replace")
+
+    def get_sequence(self, i: int) -> np.ndarray:
+        off = int(self.offsets[i])
+        return self.chars[off : off + int(self.lengths[i])]
+
+
+def _chunk_files(prefix: str) -> dict[str, str]:
+    chunk = prefix + "0"
+    return {
+        "chars": chunk + "chars",
+        "offsets": chunk + "offsets",
+        "lengths": chunk + "lengths",
+        "headers": chunk + "headers",
+        "headeroffsets": chunk + "headeroffsets",
+        "metadata": chunk + "metadata",
+    }
+
+
+def load_db(prefix: str, mmap: bool = True) -> DBData:
+    """Load a database written by ``write_db`` or the reference ``makedb``."""
+    if not os.path.exists(prefix + "metadata"):
+        raise LoadDBError(f"missing global metadata file: {prefix}metadata")
+    files = _chunk_files(prefix)
+    for key in ("chars", "offsets", "lengths", "headers", "headeroffsets"):
+        if not os.path.exists(files[key]):
+            raise LoadDBError(f"missing db file: {files[key]}")
+
+    def _load(path, dtype):
+        if mmap and os.path.getsize(path) > 0:
+            return np.memmap(path, dtype=dtype, mode="r")
+        return np.fromfile(path, dtype=dtype)
+
+    db = DBData(
+        chars=_load(files["chars"], np.int8),
+        offsets=_load(files["offsets"], np.uint64),
+        lengths=_load(files["lengths"], np.int32),
+        headers=_load(files["headers"], np.uint8),
+        header_offsets=_load(files["headeroffsets"], np.uint64),
+    )
+    n = db.num_sequences
+    if len(db.offsets) != n + 1 or len(db.header_offsets) != n + 1:
+        raise LoadDBError(f"inconsistent db files for prefix {prefix}")
+    return db
+
+
+def write_db_from_arrays(
+    prefix: str,
+    chars: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    headers: list[bytes],
+    already_sorted: bool = False,
+) -> None:
+    """Write the 6-file format, sorting sequences by length ascending."""
+    n = len(lengths)
+    if n > MAX_SEQUENCES_IN_DB:
+        raise ValueError(f"too many sequences: {n} > {MAX_SEQUENCES_IN_DB}")
+    lengths = np.asarray(lengths, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    order = np.arange(n) if already_sorted else np.argsort(lengths, kind="stable")
+
+    files = _chunk_files(prefix)
+    sorted_lengths = lengths[order]
+    with open(prefix + "metadata", "wb"):
+        pass  # empty global info marker, like the reference
+    with open(files["metadata"], "wb") as f:
+        bounds = np.asarray(LENGTH_PARTITION_BOUNDARIES, dtype=np.int32)
+        np.int32(len(bounds)).tofile(f)
+        bounds.tofile(f)
+        partition_histogram(sorted_lengths).tofile(f)
+
+    with open(files["chars"], "wb") as fc, open(files["offsets"], "wb") as fo, open(
+        files["lengths"], "wb"
+    ) as fl, open(files["headers"], "wb") as fh, open(files["headeroffsets"], "wb") as fho:
+        cur_char = np.uint64(0)
+        cur_head = np.uint64(0)
+        np.uint64(0).tofile(fo)
+        np.uint64(0).tofile(fho)
+        for idx in order:
+            idx = int(idx)
+            a, b = int(offsets[idx]), int(offsets[idx + 1])
+            seq = chars[a:b]
+            fc.write(np.asarray(seq, dtype=np.int8).tobytes())
+            cur_char += np.uint64(b - a)
+            np.uint64(cur_char).tofile(fo)
+            np.int32(lengths[idx]).tofile(fl)
+            fh.write(headers[idx])
+            cur_head += np.uint64(len(headers[idx]))
+            np.uint64(cur_head).tofile(fho)
+
+
+def make_db(
+    input_path: str,
+    prefix: str,
+    records: Iterable | None = None,
+    progress_every: int = 0,
+) -> dict:
+    """The ``makedb`` pipeline: FASTA(.gz) -> padded, encoded, length-sorted DB.
+
+    Mirrors /root/reference/src/makedb.cpp:279-374 (pad to x4 with ' ' which
+    encodes to UNKNOWN, convert, stable sort by length, write files).
+    Returns summary stats.
+    """
+    chars_parts: list[np.ndarray] = []
+    offsets = [0]
+    lengths: list[int] = []
+    headers: list[bytes] = []
+    total = 0
+    it = records if records is not None else read_sequences(input_path)
+    for rec in it:
+        seq = rec.sequence
+        if len(seq) > MAX_SEQUENCE_LENGTH:
+            raise ValueError(
+                f"sequence of length {len(seq)} exceeds maximum {MAX_SEQUENCE_LENGTH}"
+            )
+        if len(lengths) >= MAX_SEQUENCES_IN_DB:
+            raise ValueError(f"more than {MAX_SEQUENCES_IN_DB} sequences")
+        padded = seq + " " * (pad_length(len(seq)) - len(seq))
+        chars_parts.append(encode(padded))
+        total += len(padded)
+        offsets.append(total)
+        lengths.append(len(seq))
+        headers.append(rec.header.encode("latin-1", errors="replace"))
+        if progress_every and len(lengths) % progress_every == 0:
+            print(f"  parsed {len(lengths)} sequences ...", flush=True)
+
+    chars = np.concatenate(chars_parts) if chars_parts else np.zeros(0, dtype=np.int8)
+    write_db_from_arrays(
+        prefix,
+        chars,
+        np.asarray(offsets, dtype=np.int64),
+        np.asarray(lengths, dtype=np.int32),
+        headers,
+    )
+    return {
+        "num_sequences": len(lengths),
+        "num_chars": int(np.asarray(lengths, dtype=np.int64).sum()),
+        "num_padded_chars": total,
+    }
+
+
+def pseudo_to_dbdata(pdb) -> DBData:
+    """Adapt a PseudoDB to the DBData interface (all lengths equal, so it is
+    already length-sorted)."""
+    header_offsets = np.zeros(pdb.num + 1, dtype=np.uint64)
+    header_offsets[1:] = np.cumsum([len(h) for h in pdb.headers]).astype(np.uint64)
+    headers = np.frombuffer(b"".join(pdb.headers), dtype=np.uint8)
+    return DBData(
+        chars=pdb.chars,
+        offsets=pdb.offsets.astype(np.uint64),
+        lengths=pdb.lengths,
+        headers=headers,
+        header_offsets=header_offsets,
+    )

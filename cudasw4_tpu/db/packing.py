@@ -1,0 +1,190 @@
+"""Length-bucketed packing of a database into fixed-shape TPU tiles.
+
+This replaces the reference's 36 length partitions + ragged offsets + batch
+copy planner (/root/reference/src/length_partitions.hpp,
+/root/reference/src/cudasw4.cuh:1177-1277) with the XLA-friendly equivalent:
+every sequence is assigned to the smallest bucket length >= its length, and
+each bucket is packed into tiles of shape [L, NS] int8 where
+
+* L  = bucket subject length (padded with UNKNOWN=20, multiple of 16),
+* NS = subjects per tile (multiple of 128, the VPU lane width).
+
+Inside a tile, axis 0 is the subject *position* and axis 1 the subject *lane*
+("position-major"), which is exactly the layout the Pallas kernel consumes:
+one elementwise op over an [L, NS] array advances the DP for NS independent
+alignments at once.  Padding lanes carry all-UNKNOWN characters (they can
+never raise a local-alignment score) and are masked out via ``seq_index==-1``.
+
+The kernel's compile cache is keyed by (L, NS); the bucket edge list below is
+the analog of the reference's 34 template instantiations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..constants import UNKNOWN
+
+#: Default bucket edges (ascending).  All multiples of 16 (f32 state arrays
+#: tile at 8 sublanes; finer buckets cut padding waste more than int8 sublane
+#: padding costs).
+DEFAULT_BUCKET_EDGES = [
+    32, 48, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 448,
+    512, 640, 768, 896, 1024, 1280, 1536, 1792, 2048,
+]
+
+#: Longest bucket handled by the single-pass kernel; longer subjects go to
+#: chunked buckets (multiples of LONG_CHUNK).
+MAX_SINGLE_PASS = 2048
+LONG_CHUNK = 2048
+
+#: Per-tile element target: NS is chosen so L*NS ~= this many chars.
+TILE_ELEMS = 131072
+MIN_LANES = 128
+MAX_LANES = 1024
+
+
+def lanes_for_length(L: int) -> int:
+    ns = max(MIN_LANES, min(MAX_LANES, (TILE_ELEMS // L) // 128 * 128))
+    return ns
+
+
+def bucket_length_for(length: int, edges=None) -> int:
+    """Smallest bucket length >= ``length``."""
+    if edges is None:
+        edges = DEFAULT_BUCKET_EDGES
+    for e in edges:
+        if length <= e:
+            return e
+    # long bucket: round up to a multiple of LONG_CHUNK
+    return ((length + LONG_CHUNK - 1) // LONG_CHUNK) * LONG_CHUNK
+
+
+@dataclass
+class PackedBucket:
+    """One bucket of the packed database."""
+
+    L: int  # padded subject length
+    NS: int  # lanes (subjects) per tile
+    tiles: np.ndarray  # int8 [T, L, NS], position-major
+    seq_index: np.ndarray  # int32 [T, NS], global (sorted-db) id, -1 = padding
+    lengths: np.ndarray  # int32 [T, NS], real lengths, 0 = padding
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def num_real(self) -> int:
+        return int((self.seq_index >= 0).sum())
+
+    @property
+    def is_long(self) -> bool:
+        return self.L > MAX_SINGLE_PASS
+
+
+@dataclass
+class PackedDB:
+    buckets: list[PackedBucket]
+    num_sequences: int
+    total_real_chars: int  # sum of real lengths (GCUPS denominator)
+
+    @property
+    def total_padded_chars(self) -> int:
+        return sum(b.tiles.size for b in self.buckets)
+
+
+def pack_db(
+    db,
+    edges=None,
+    slab_tiles: int = 64,
+) -> PackedDB:
+    """Pack a length-sorted DBData into buckets of fixed-shape tiles.
+
+    ``db`` needs .chars/.offsets/.lengths (DBData or PseudoDB-adapted).
+    Sequences must be sorted by length ascending (the on-disk invariant),
+    so each bucket is a contiguous global-index range.
+    """
+    if edges is None:
+        edges = DEFAULT_BUCKET_EDGES
+    lengths = np.asarray(db.lengths, dtype=np.int64)
+    offsets = np.asarray(db.offsets, dtype=np.int64)
+    chars = db.chars
+    n = len(lengths)
+    if n and not np.all(lengths[1:] >= lengths[:-1]):
+        raise ValueError("database is not sorted by length ascending")
+
+    # Determine bucket index ranges via searchsorted on the sorted lengths.
+    max_len = int(lengths[-1]) if n else 0
+    all_edges = [e for e in edges if e <= MAX_SINGLE_PASS]
+    e = all_edges[-1] if all_edges else LONG_CHUNK
+    while e < max_len:
+        e += LONG_CHUNK
+        all_edges.append(e)
+
+    buckets: list[PackedBucket] = []
+    start = 0
+    for edge in all_edges:
+        stop = int(np.searchsorted(lengths, edge + 1, side="left"))
+        count = stop - start
+        if count <= 0:
+            start = stop
+            continue
+        L = edge
+        NS = lanes_for_length(L)
+        T = -(-count // NS)
+        tiles = np.full((T, L, NS), UNKNOWN, dtype=np.int8)
+        seq_index = np.full((T, NS), -1, dtype=np.int32)
+        seq_lengths = np.zeros((T, NS), dtype=np.int32)
+
+        # Fill tiles in slabs to bound temp memory.
+        for t0 in range(0, T, slab_tiles):
+            t1 = min(t0 + slab_tiles, T)
+            a = start + t0 * NS
+            b = min(start + t1 * NS, stop)
+            cnt = b - a
+            # Gather [cnt, L] with per-sequence masking of the tail.
+            offs = offsets[a:b, None]  # [cnt, 1]
+            jj = np.arange(L, dtype=np.int64)[None, :]
+            # padded length on disk is a multiple of 4 >= real length
+            padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
+            idx = offs + np.minimum(jj, padlens - 1)
+            block = np.take(np.asarray(chars), idx)
+            block = np.where(jj < padlens, block, UNKNOWN).astype(np.int8)
+            # scatter into [t1-t0, NS, L] then transpose to position-major
+            nt = t1 - t0
+            slab = np.full((nt * NS, L), UNKNOWN, dtype=np.int8)
+            slab[:cnt] = block
+            slab = slab.reshape(nt, NS, L).transpose(0, 2, 1)
+            tiles[t0:t1] = slab
+
+            sidx = np.full(nt * NS, -1, dtype=np.int32)
+            sidx[:cnt] = np.arange(a, b, dtype=np.int32)
+            seq_index[t0:t1] = sidx.reshape(nt, NS)
+            slen = np.zeros(nt * NS, dtype=np.int32)
+            slen[:cnt] = lengths[a:b]
+            seq_lengths[t0:t1] = slen.reshape(nt, NS)
+
+        buckets.append(
+            PackedBucket(L=L, NS=NS, tiles=tiles, seq_index=seq_index, lengths=seq_lengths)
+        )
+        start = stop
+
+    return PackedDB(
+        buckets=buckets,
+        num_sequences=n,
+        total_real_chars=int(lengths.sum()),
+    )
+
+
+def unpack_tile_sequences(bucket: PackedBucket, tile: int) -> list[np.ndarray]:
+    """Inverse of packing for one tile (test helper): real sequences only."""
+    out = []
+    for s in range(bucket.NS):
+        if bucket.seq_index[tile, s] < 0:
+            continue
+        ln = int(bucket.lengths[tile, s])
+        out.append(bucket.tiles[tile, :ln, s].copy())
+    return out

@@ -1,0 +1,179 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from cudasw4_tpu.constants import UNKNOWN, decode, encode
+from cudasw4_tpu.db.fasta import read_sequences, write_fasta
+from cudasw4_tpu.db.format import (
+    LENGTH_PARTITION_BOUNDARIES,
+    load_db,
+    make_db,
+    partition_histogram,
+    pseudo_to_dbdata,
+)
+from cudasw4_tpu.db.packing import (
+    bucket_length_for,
+    pack_db,
+    unpack_tile_sequences,
+)
+from cudasw4_tpu.db.pseudo import make_pseudo_db
+
+RECORDS = [
+    ("seq1 first protein", "MKVLAA"),
+    ("seq2", "ARNDCQEGHILKMFPSTWYVARNDCQEGHILKMFPSTWYV"),
+    ("seq3 short", "WW"),
+    ("seq4", "ACDEFGHIKLMNPQRSTVWYACDEFGHIKL"),
+]
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = str(tmp_path / "t.fa")
+    write_fasta(p, RECORDS)
+    got = [(r.header, r.sequence) for r in read_sequences(p)]
+    assert got == RECORDS
+
+
+def test_fasta_multiline_and_gzip(tmp_path):
+    p = str(tmp_path / "t.fa.gz")
+    content = ">h1 desc here\nMKV\nLAA\n\n>h2\r\nWW\r\n"
+    with gzip.open(p, "wt") as f:
+        f.write(content)
+    got = [(r.header, r.sequence) for r in read_sequences(p)]
+    assert got == [("h1 desc here", "MKVLAA"), ("h2", "WW")]
+
+
+def test_fastq(tmp_path):
+    p = str(tmp_path / "t.fq")
+    with open(p, "w") as f:
+        f.write("@r1 desc\nMKVL\n+\n!!!!\n@r2\nWW\n+r2\n!!\n")
+    got = [(r.header, r.sequence) for r in read_sequences(p)]
+    assert got == [("r1 desc", "MKVL"), ("r2", "WW")]
+
+
+def test_makedb_load_roundtrip(tmp_path):
+    fa = str(tmp_path / "in.fa")
+    write_fasta(fa, RECORDS)
+    prefix = str(tmp_path / "db")
+    stats = make_db(fa, prefix)
+    assert stats["num_sequences"] == 4
+    assert stats["num_chars"] == sum(len(s) for _, s in RECORDS)
+
+    db = load_db(prefix)
+    assert db.num_sequences == 4
+    # sorted by length ascending: seq3 (2), seq1 (6), seq4 (30), seq2 (40)
+    assert list(db.lengths) == [2, 6, 30, 40]
+    assert db.get_header(0) == "seq3 short"
+    assert db.get_header(1) == "seq1 first protein"
+    assert decode(db.get_sequence(0)) == "WW"
+    assert decode(db.get_sequence(3)) == RECORDS[1][1]
+    # padded chars multiple of 4, padding encodes UNKNOWN
+    assert db.num_padded_chars % 4 == 0
+    seq1_padded = db.chars[int(db.offsets[1]) : int(db.offsets[2])]
+    assert len(seq1_padded) == 8
+    assert list(seq1_padded[6:]) == [UNKNOWN, UNKNOWN]
+
+
+def test_metadata_binary_layout(tmp_path):
+    fa = str(tmp_path / "in.fa")
+    write_fasta(fa, RECORDS)
+    prefix = str(tmp_path / "db")
+    make_db(fa, prefix)
+    raw = open(prefix + "0metadata", "rb").read()
+    n = np.frombuffer(raw[:4], dtype=np.int32)[0]
+    assert n == len(LENGTH_PARTITION_BOUNDARIES)
+    bounds = np.frombuffer(raw[4 : 4 + 4 * n], dtype=np.int32)
+    assert list(bounds) == LENGTH_PARTITION_BOUNDARIES
+    counts = np.frombuffer(raw[4 + 4 * n :], dtype=np.uint64)
+    assert counts.sum() == 4
+    # lengths 2,6,30,40 all fall in partition 0 (<=48)
+    assert counts[0] == 4
+
+
+def test_partition_histogram():
+    lengths = np.array([10, 48, 49, 64, 100, 8000, 9000], dtype=np.int64)
+    h = partition_histogram(lengths)
+    assert h.sum() == 7
+    assert h[0] == 2  # <=48
+    assert h[1] == 2  # 49..64
+    assert h[-2] == 1  # 1281..8000
+    assert h[-1] == 1  # >8000
+
+
+def test_pack_pseudo_db():
+    pdb = pseudo_to_dbdata(make_pseudo_db(300, 100))
+    packed = pack_db(pdb)
+    assert packed.num_sequences == 300
+    assert packed.total_real_chars == 30000
+    assert len(packed.buckets) == 1
+    b = packed.buckets[0]
+    assert b.L == bucket_length_for(100) == 112
+    assert b.num_real == 300
+    assert b.tiles.shape[1:] == (b.L, b.NS)
+    # Round-trip: every packed sequence matches the original
+    seqs = unpack_tile_sequences(b, 0)
+    orig = pdb.chars[:100]
+    assert np.array_equal(seqs[0], orig)
+    # padding lanes are all UNKNOWN
+    pad_slots = np.argwhere(b.seq_index < 0)
+    if len(pad_slots):
+        t, s = pad_slots[0]
+        assert np.all(b.tiles[t, :, s] == UNKNOWN)
+
+
+def test_pack_mixed_lengths(tmp_path, rng):
+    # random lengths spanning several buckets, via a real makedb roundtrip
+    recs = []
+    for i in range(57):
+        ln = int(rng.integers(1, 700))
+        seq = "".join("ARNDCQEGHILKMFPSTWYV"[c] for c in rng.integers(0, 20, ln))
+        recs.append((f"s{i}", seq))
+    fa = str(tmp_path / "m.fa")
+    write_fasta(fa, recs)
+    prefix = str(tmp_path / "db")
+    make_db(fa, prefix)
+    db = load_db(prefix)
+    packed = pack_db(db, slab_tiles=2)
+    assert packed.num_sequences == 57
+    # every sequence appears exactly once with correct content
+    seen = {}
+    for b in packed.buckets:
+        assert b.L % 16 == 0 and b.NS % 128 == 0
+        for t in range(b.num_tiles):
+            for s in range(b.NS):
+                gid = int(b.seq_index[t, s])
+                if gid < 0:
+                    continue
+                ln = int(b.lengths[t, s])
+                assert ln == int(db.lengths[gid])
+                assert ln <= b.L
+                seen[gid] = b.tiles[t, :ln, s].copy()
+    assert len(seen) == 57
+    for gid, codes in seen.items():
+        assert np.array_equal(codes, db.get_sequence(gid)), gid
+
+
+def test_pack_long_sequences():
+    # sequences longer than MAX_SINGLE_PASS land in long buckets
+    from cudasw4_tpu.db.format import DBData
+
+    lengths = np.array([100, 3000, 5000], dtype=np.int32)
+    padded = [(ln + 3) // 4 * 4 for ln in lengths]
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), UNKNOWN, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]) : int(offsets[i]) + ln] = np.arange(ln) % 20
+    db = DBData(
+        chars=chars,
+        offsets=offsets,
+        lengths=lengths,
+        headers=np.zeros(0, dtype=np.uint8),
+        header_offsets=np.zeros(4, dtype=np.uint64),
+    )
+    packed = pack_db(db)
+    Ls = sorted(b.L for b in packed.buckets)
+    assert Ls == [112, 4096, 6144]
+    long_buckets = [b for b in packed.buckets if b.is_long]
+    assert len(long_buckets) == 2
+    b = [x for x in packed.buckets if x.L == 4096][0]
+    assert np.array_equal(b.tiles[0, :3000, 0], db.get_sequence(1))
