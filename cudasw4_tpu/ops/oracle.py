@@ -64,9 +64,10 @@ def sw_score_rowvec(
     raise the max, so padded batches give the same score as unpadded ones).
     Streams the query; per query row the E-dependency along the subject is
     resolved with the exact lazy-gap max-scan:
-        E[i][j] = max_{k<j}( Ht[i][k] + gop + (j-k)*gex )
-    where Ht is H computed without E — exact because extending a gap that
-    opened from an E-derived H never beats extending the original gap.
+        E[i][j] = max_{k<j}( Ht[i][k] + gop + (j-k-1)*gex )
+    (a length-1 gap costs gop alone; each extra column adds gex), where Ht
+    is H computed without E — exact because opening a new gap from an
+    E-derived H (cost gop <= 0 again) never beats extending the original.
     This is the same formulation the Pallas kernel uses, but in NumPy.
     """
     q = np.asarray(query, dtype=np.int64)
@@ -76,7 +77,7 @@ def sw_score_rowvec(
     F = np.full((n, L), NEG_INF, dtype=np.int64)
     M = np.zeros((n, L), dtype=np.int64)
     j_idx = np.arange(L, dtype=np.int64)
-    c1 = gop - j_idx * gex  # u[k] = Ht[k] + gop - k*gex
+    c1 = gop - (j_idx + 1) * gex  # u[k] = Ht[k] + gop - (k+1)*gex
     c2 = j_idx * gex  # E[j] = excl_max_scan(u)[j] + j*gex
     for qc in q:
         sub = matrix[qc][subs]  # [n, L]

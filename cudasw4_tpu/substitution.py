@@ -289,8 +289,21 @@ def make_scoring_config(
         blosum = BlosumType(name)
     base = blosum.value.replace("_20", "")
     dgop, dgex = _GAP_DEFAULTS[base]
-    return ScoringConfig(
+    cfg = ScoringConfig(
         blosum=blosum,
         gop=dgop if gop is None else gop,
         gex=dgex if gex is None else gex,
     )
+    # Sanity constraints shared with the scan-based DP formulation:
+    # non-positive penalties (positive ones let scores diverge in any affine
+    # DP) and extension no more expensive than opening (gex >= gop), which
+    # the lazy-gap scan relies on.  All published matrix defaults satisfy
+    # these; reject the pathological corner instead of silently mis-scoring.
+    if cfg.gop > 0 or cfg.gex > 0:
+        raise ValueError(f"gap penalties must be <= 0, got gop={cfg.gop} gex={cfg.gex}")
+    if cfg.gex < cfg.gop:
+        raise ValueError(
+            f"gap extension ({cfg.gex}) must not be more expensive than "
+            f"gap open ({cfg.gop})"
+        )
+    return cfg

@@ -71,3 +71,39 @@ def test_rowvec_padding_invariance(rng):
     a = sw_score_rowvec(q, subs, cfg.matrix, cfg.gop, cfg.gex)
     b = sw_score_rowvec(q, padded, cfg.matrix, cfg.gop, cfg.gex)
     assert np.array_equal(a, b)
+
+
+def test_regression_gap_open_cost_off_by_one():
+    """A length-1 subject gap costs gop alone (no gex); this case caught an
+    off-by-one in the lazy-gap scan constant (E-dominated optimum)."""
+    cfg = make_scoring_config("blosum62")
+    subject = np.array([7, 18, 2, 2, 8, 11, 12, 17, 7, 18, 14, 11, 4, 14, 2,
+                        1, 14, 4, 13, 11, 8, 9, 2, 6])
+    query = np.array([2, 8, 11, 8, 0, 11, 15, 13, 12, 18, 2, 11, 13, 18, 19,
+                      8, 0, 15, 17, 19, 14, 1, 19, 14, 19])
+    want = sw_score_scalar(query, subject, cfg.matrix, cfg.gop, cfg.gex)
+    assert want == 20
+    got = sw_score_rowvec(query, subject[None, :], cfg.matrix, cfg.gop, cfg.gex)
+    assert int(got[0]) == want
+
+
+def test_rowvec_stress_gap_heavy(rng):
+    """Denser sweep with gap-friendly penalties to exercise E/F-dominated
+    optima (the weak spot of scan formulations)."""
+    for gop, gex in [(-11, -1), (-2, -1), (-1, 0), (-4, -4), (0, 0)]:
+        cfg = make_scoring_config("blosum62", gop=gop, gex=gex)
+        for _ in range(6):
+            q = rng.integers(0, 21, size=int(rng.integers(2, 50)))
+            subs = np.stack([rng.integers(0, 21, size=60) for _ in range(4)])
+            got = sw_score_rowvec(q, subs, cfg.matrix, cfg.gop, cfg.gex)
+            want = [sw_score_scalar(q, s, cfg.matrix, cfg.gop, cfg.gex) for s in subs]
+            assert [int(v) for v in got] == want, (gop, gex)
+
+
+def test_invalid_gap_configs_rejected():
+    with pytest.raises(ValueError):
+        make_scoring_config("blosum62", gop=-1, gex=-5)  # gex < gop
+    with pytest.raises(ValueError):
+        make_scoring_config("blosum62", gop=1, gex=-1)  # positive gop
+    with pytest.raises(ValueError):
+        make_scoring_config("blosum62", gop=-1, gex=1)  # positive gex
