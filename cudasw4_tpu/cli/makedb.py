@@ -1,0 +1,60 @@
+"""``makedb`` — build a packed database from FASTA/FASTQ (CLI).
+
+Argument surface matches the reference makedb
+(/root/reference/src/makedb.cpp:279-374): input file, output prefix,
+optional --mem limit and --tempdir (accepted; the Python pipeline streams
+the input and spills nothing today, so they only gate a warning).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from ..db.format import make_db
+from .align import parse_memory_string
+
+USAGE = """Usage:
+  makedb <FASTA/FASTQ filename> pathtodb/dbname [options]
+Input file may be gzip'ed. pathtodb must exist.
+Options:
+    --mem val : Memory limit. Can use suffix K,M,G.
+    --tempdir val : Temp directory for temporary files. Must exist.
+"""
+
+
+def run(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) < 2:
+        print(USAGE)
+        return 0
+    input_path, prefix = argv[0], argv[1]
+    mem = None
+    i = 2
+    while i < len(argv):
+        if argv[i] == "--mem":
+            i += 1
+            mem = parse_memory_string(argv[i])
+        elif argv[i] == "--tempdir":
+            i += 1  # accepted for compatibility
+        else:
+            print(f"Unexpected arg {argv[i]}")
+        i += 1
+    del mem
+
+    print("Parsing file")
+    t0 = time.perf_counter()
+    stats = make_db(input_path, prefix, progress_every=1_000_000)
+    dt = time.perf_counter() - t0
+    print(f"Number of input sequences:  {stats['num_sequences']}")
+    print(f"Number of input characters: {stats['num_chars']}")
+    print(f"TIMING: db creation: {dt:.6g} s")
+    return 0
+
+
+def main():
+    raise SystemExit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Search engine: database residency, per-query scan, top-N merge, stats.
+
+The TPU-native analog of the reference's ``CudaSW4`` orchestrator class
+(/root/reference/src/cudasw4.cuh:244-2454).  Where the reference juggles
+per-GPU working sets, copy plans, streams and a kernel dispatch table, the
+XLA version is one jitted scan function per database: every bucket's tiles
+are resident device arrays, the per-bucket Pallas kernels + masking + a
+single ``lax.top_k`` fuse into one compiled program, and XLA's async
+dispatch replaces the stream machinery.
+
+Scan flow (mirrors cudasw4.cuh:1312-1488 behaviourally):
+  encode query -> per-bucket kernel -> concat scores (slot order = global
+  length-sorted reference id order) -> mask padding slots -> top_k ->
+  gather reference ids -> host.
+GCUPS accounting matches makeBenchmarkStats (cudasw4.cuh:2264-2271):
+queryLength x sum(real db lengths) / 1e9 / seconds.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> None:
+    """Cache compiled kernels on disk (the per-bucket kernel zoo is the
+    analog of the reference's precompiled template instantiations).
+
+    Opt-in via the CUDASW4_TPU_CACHE env var: on tunneled/remote-compile
+    platforms the serialization round-trip can make first compiles *slower*,
+    so the CLI only enables it when the user asks for it.
+    """
+    path = path or os.environ.get("CUDASW4_TPU_CACHE")
+    if not path:
+        return
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from .constants import UNKNOWN, encode
+from .db.format import DBData
+from .db.packing import PackedDB, pack_db
+from .ops import sw_pallas
+from .ops.sw_jax import score_tiles_jnp
+from .substitution import ScoringConfig, make_scoring_config
+
+
+@dataclass
+class BenchmarkStats:
+    seconds: float = 0.0
+    gcups: float = 0.0
+    num_overflows: int = 0  # always 0: fp32 lanes are integer-exact
+
+
+@dataclass
+class ScanResult:
+    scores: list[int] = field(default_factory=list)
+    reference_ids: list[int] = field(default_factory=list)
+    stats: BenchmarkStats = field(default_factory=BenchmarkStats)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SearchEngine:
+    """One-chip database search engine (multi-chip lives in parallel/)."""
+
+    def __init__(
+        self,
+        scoring: ScoringConfig | None = None,
+        num_top: int = 10,
+        backend: str = "auto",
+        qcap: int = sw_pallas.QCAP,
+        bucket_edges=None,
+        verbose: bool = False,
+    ):
+        self.scoring = scoring or make_scoring_config("blosum62")
+        self.num_top = num_top
+        self.qcap = qcap
+        self.bucket_edges = bucket_edges
+        self.verbose = verbose
+        platform = jax.devices()[0].platform
+        if backend == "auto":
+            backend = "pallas" if platform == "tpu" else "jnp"
+        self.backend = backend
+        self.db: DBData | None = None
+        self.packed: PackedDB | None = None
+        self._scan_fn = None
+        self._total_t0 = None
+        self._total_cells = 0.0
+
+    # ------------------------------------------------------------------ DB
+
+    def set_database(self, db: DBData) -> None:
+        t0 = time.perf_counter()
+        self.db = db
+        self.packed = pack_db(db, edges=self.bucket_edges)
+        self._bucket_tiles = [jnp.asarray(b.tiles) for b in self.packed.buckets]
+        # Slot -> global reference id map, concatenated in bucket order.
+        flat_idx = np.concatenate(
+            [b.seq_index.reshape(-1) for b in self.packed.buckets]
+        ) if self.packed.buckets else np.zeros(0, np.int32)
+        self._flat_idx = jnp.asarray(flat_idx)
+        self._valid = jnp.asarray(flat_idx >= 0)
+        self._matrix_flat = jnp.asarray(
+            self.scoring.matrix.astype(np.int32).reshape(-1)
+        )
+        self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
+        self._scan_fn = self._build_scan_fn()
+        if self.verbose:
+            dt = time.perf_counter() - t0
+            print(
+                f"Database ready: {self.packed.num_sequences} sequences, "
+                f"{self.packed.total_real_chars} residues, "
+                f"{len(self.packed.buckets)} buckets, pack time {dt:.2f}s"
+            )
+
+    @property
+    def results_per_query(self) -> int:
+        n = self.packed.num_sequences if self.packed else 0
+        return max(0, min(self.num_top, n))
+
+    def num_sequences(self) -> int:
+        return self.packed.num_sequences if self.packed else 0
+
+    def get_reference_header(self, ref_id: int) -> str:
+        return self.db.get_header(int(ref_id))
+
+    def get_reference_length(self, ref_id: int) -> int:
+        return int(self.db.lengths[int(ref_id)])
+
+    def get_reference_sequence(self, ref_id: int) -> str:
+        from .constants import decode
+
+        return decode(self.db.get_sequence(int(ref_id)))
+
+    # ---------------------------------------------------------------- scan
+
+    def _build_scan_fn(self):
+        # NOTE: all database arrays are passed as jit *arguments* — closing
+        # over them would bake them into the lowered module as constants
+        # (multi-minute lowering and a program as large as the DB).
+        long_flags = tuple(b.is_long for b in self.packed.buckets)
+        use_pallas = self.backend == "pallas"
+        k = self.results_per_query
+
+        @functools.partial(jax.jit, static_argnums=())
+        def scan_fn(qpad, params, bucket_tiles, valid, flat_idx, mat_flat, mat_f32):
+            parts = []
+            for tiles, is_long in zip(bucket_tiles, long_flags):
+                if use_pallas and not is_long:
+                    s = sw_pallas.score_bucket_pallas(tiles, qpad, mat_flat, params)
+                else:
+                    s = score_tiles_jnp(
+                        tiles,
+                        qpad,
+                        mat_f32,
+                        params[1].astype(jnp.float32),
+                        params[2].astype(jnp.float32),
+                        params[0],
+                    )
+                parts.append(s.reshape(-1))
+            if not parts or k == 0:
+                return (jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32))
+            allscores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            allscores = jnp.where(valid, allscores, -1.0)
+            vals, idx = jax.lax.top_k(allscores, k)
+            return vals, jnp.take(flat_idx, idx)
+
+        def run(qpad, params):
+            return scan_fn(
+                qpad,
+                params,
+                tuple(self._bucket_tiles),
+                self._valid,
+                self._flat_idx,
+                self._matrix_flat,
+                self._matrix_f32,
+            )
+
+        return run
+
+    def scan(self, sequence) -> ScanResult:
+        """Search one query against the resident database."""
+        if self.packed is None:
+            raise RuntimeError("set_database() must be called before scan()")
+        codes = encode(sequence) if isinstance(sequence, (str, bytes)) else np.asarray(sequence, np.int8)
+        nq = len(codes)
+        if nq > self.qcap:
+            raise ValueError(
+                f"query length {nq} exceeds current capacity {self.qcap}"
+            )
+        qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
+        qpad[:nq] = codes
+        params = np.array(
+            [nq, self.scoring.gop, self.scoring.gex, 0], dtype=np.int32
+        )
+        t0 = time.perf_counter()
+        vals, ids = self._scan_fn(jnp.asarray(qpad), jnp.asarray(params))
+        vals, ids = jax.block_until_ready((vals, ids))
+        seconds = time.perf_counter() - t0
+        cells = float(nq) * float(self.packed.total_real_chars)
+        self._total_cells += cells
+        stats = BenchmarkStats(
+            seconds=seconds,
+            gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
+            num_overflows=0,
+        )
+        return ScanResult(
+            scores=[int(v) for v in np.asarray(vals)],
+            reference_ids=[int(i) for i in np.asarray(ids)],
+            stats=stats,
+        )
+
+    # --------------------------------------------------------------- timer
+
+    def total_timer_start(self):
+        self._total_t0 = time.perf_counter()
+        self._total_cells = 0.0
+
+    def total_timer_stop(self) -> BenchmarkStats:
+        seconds = time.perf_counter() - (self._total_t0 or time.perf_counter())
+        gcups = self._total_cells / 1e9 / seconds if seconds > 0 else 0.0
+        return BenchmarkStats(seconds=seconds, gcups=gcups)
+
+    # ---------------------------------------------------------------- info
+
+    def print_db_info(self):
+        p = self.packed
+        print(
+            f"DB: {p.num_sequences} sequences, {p.total_real_chars} residues"
+        )
+        print(
+            f"Packed: {len(p.buckets)} buckets, padded chars "
+            f"{p.total_padded_chars} "
+            f"({p.total_padded_chars / max(1, p.total_real_chars):.2f}x)"
+        )
+
+    def print_db_length_partitions(self):
+        for b in self.packed.buckets:
+            print(
+                f"  bucket L={b.L:6d} NS={b.NS:5d} tiles={b.num_tiles:6d} "
+                f"sequences={b.num_real}"
+            )

@@ -1,0 +1,131 @@
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from cudasw4_tpu.cli import align as align_cli
+from cudasw4_tpu.cli import makedb as makedb_cli
+from cudasw4_tpu.db.fasta import write_fasta
+
+AAS = "ARNDCQEGHILKMFPSTWYV"
+
+
+@pytest.fixture
+def small_db(tmp_path, rng):
+    recs = []
+    for i in range(20):
+        ln = int(rng.integers(5, 60))
+        recs.append((f"sp|P{i:05d}|TEST{i} protein {i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    prefix = str(tmp_path / "db")
+    assert makedb_cli.run([fa, prefix]) == 0
+    qf = str(tmp_path / "q.fa")
+    write_fasta(qf, [("query1 test", "".join(AAS[c] for c in rng.integers(0, 20, 25)))])
+    return prefix, qf, recs
+
+
+def _run_align(args, monkeypatch, engine_kwargs=None):
+    # shrink qcap so the portable path stays fast on CPU
+    import cudasw4_tpu.engine as eng
+
+    orig = eng.SearchEngine.__init__
+
+    def patched(self, *a, **kw):
+        kw.setdefault("qcap", 64)
+        orig(self, *a, **kw)
+
+    monkeypatch.setattr(eng.SearchEngine, "__init__", patched)
+    return align_cli.run(args)
+
+
+def test_align_plain_output(small_db, tmp_path, capsys, monkeypatch):
+    prefix, qf, recs = small_db
+    out = str(tmp_path / "out.txt")
+    rc = _run_align(["--query", qf, "--db", prefix, "--top", "5", "--of", out], monkeypatch)
+    assert rc == 0
+    text = open(out).read()
+    lines = text.strip().splitlines()
+    assert lines[0].startswith("Query 0, headerquery1 test, length 25, num overflows 0")
+    assert len(lines) == 6
+    assert lines[1].startswith("Result 0. Score: ")
+    assert "referenceId" in lines[1]
+    # scores descending
+    scores = [int(l.split("Score: ")[1].split(".")[0]) for l in lines[1:]]
+    assert scores == sorted(scores, reverse=True)
+    console = capsys.readouterr().out
+    assert "Processing query file" in console
+    assert "Processing query 0 ... Done." in console
+
+
+def test_align_tsv_output(small_db, tmp_path, monkeypatch):
+    prefix, qf, recs = small_db
+    out = str(tmp_path / "out.tsv")
+    rc = _run_align(
+        ["--query", qf, "--db", prefix, "--top", "3", "--tsv", "--of", out], monkeypatch
+    )
+    assert rc == 0
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].split("\t") == [
+        "Query number", "Query length", "Query header", "Result number",
+        "Result score", "Reference length", "Reference header", "Reference ID in DB",
+    ]
+    assert len(lines) == 4
+    row = lines[1].split("\t")
+    assert row[0] == "0" and row[1] == "25" and row[2] == "query1 test"
+    assert row[3] == "0"
+    int(row[4]); int(row[5]); int(row[7])
+
+
+def test_align_pseudodb(monkeypatch, tmp_path, capsys):
+    qf = str(tmp_path / "q.fa")
+    write_fasta(qf, [("q", "ARNDCQEGHILKMFPSTWYV")])
+    out = str(tmp_path / "o.txt")
+    rc = _run_align(
+        ["--query", qf, "--pseudodb", "7", "40", "--top", "0", "--of", out, "--verbose"],
+        monkeypatch,
+    )
+    assert rc == 0
+    console = capsys.readouterr().out
+    assert "GCUPS" in console  # verbose timing
+    assert open(out).read() == ""  # --top 0 suppresses result output
+
+
+def test_align_missing_args(capsys):
+    rc = align_cli.run([])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Query is missing" in out
+    assert "DB prefix is missing" in out
+    assert "Usage:" in out
+
+
+def test_align_gap_overrides(small_db, tmp_path, monkeypatch):
+    prefix, qf, recs = small_db
+    out1, out2 = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")
+    _run_align(["--query", qf, "--db", prefix, "--mat", "blosum45", "--of", out1], monkeypatch)
+    _run_align(
+        ["--query", qf, "--db", prefix, "--mat", "blosum45", "--gop", "-5", "--gex", "-1", "--of", out2],
+        monkeypatch,
+    )
+    assert open(out1).read() != "" and open(out2).read() != ""
+
+
+def test_interactive_mode(small_db, tmp_path, monkeypatch, capsys):
+    prefix, qf, recs = small_db
+    out = str(tmp_path / "o.txt")
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("s ARNDARNDARND\n\nbogus\nexit\n")
+    )
+    rc = _run_align(["--interactive", "--db", prefix, "--of", out], monkeypatch)
+    assert rc == 0
+    console = capsys.readouterr().out
+    assert "Interactive mode ready" in console
+    assert "Unrecognized command: bogus" in console
+    assert "Result 0. Score:" in open(out).read()
+
+
+def test_makedb_usage(capsys):
+    assert makedb_cli.run([]) == 0
+    assert "Usage:" in capsys.readouterr().out

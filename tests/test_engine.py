@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from cudasw4_tpu import encode, make_scoring_config
+from cudasw4_tpu.db.format import pseudo_to_dbdata, load_db, make_db
+from cudasw4_tpu.db.fasta import write_fasta
+from cudasw4_tpu.db.pseudo import make_pseudo_db
+from cudasw4_tpu.engine import SearchEngine
+from cudasw4_tpu.ops.oracle import sw_score_scalar
+
+AAS = "ARNDCQEGHILKMFPSTWYV"
+
+
+def _random_records(rng, n, max_len=120):
+    recs = []
+    for i in range(n):
+        ln = int(rng.integers(3, max_len))
+        recs.append((f"prot{i} desc{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    return recs
+
+
+def test_scan_pseudo_db():
+    engine = SearchEngine(num_top=5, qcap=64)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(10, 50)))
+    query = "".join(AAS[c] for c in np.random.default_rng(3).integers(0, 20, 40))
+    result = engine.scan(query)
+    cfg = engine.scoring
+    db = engine.db
+    want = sw_score_scalar(encode(query), db.get_sequence(0), cfg.matrix, cfg.gop, cfg.gex)
+    assert len(result.scores) == 5
+    # all 10 identical sequences share the same score
+    assert all(s == want for s in result.scores)
+    assert result.stats.gcups > 0
+    assert result.stats.num_overflows == 0
+
+
+def test_scan_real_db_topk_exact(tmp_path, rng):
+    recs = _random_records(rng, 60)
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    prefix = str(tmp_path / "db")
+    make_db(fa, prefix)
+    db = load_db(prefix)
+
+    engine = SearchEngine(num_top=10, qcap=64)
+    engine.set_database(db)
+    cfg = engine.scoring
+
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 35))
+    result = engine.scan(query)
+
+    # brute-force (vectorised) oracle over the whole db
+    from cudasw4_tpu.ops.oracle import sw_score_rowvec
+
+    q = encode(query)
+    maxlen = int(db.lengths.max())
+    padded = np.full((db.num_sequences, maxlen), 20, dtype=np.int64)
+    for i in range(db.num_sequences):
+        s = db.get_sequence(i)
+        padded[i, : len(s)] = s
+    all_scores = sw_score_rowvec(q, padded, cfg.matrix, cfg.gop, cfg.gex)
+    order = np.lexsort((np.arange(len(all_scores)), -all_scores))
+    want_scores = [int(all_scores[i]) for i in order[:10]]
+    assert result.scores == want_scores
+    # ids must point at sequences with those scores (ties may permute)
+    got_ids_scores = [int(all_scores[r]) for r in result.reference_ids]
+    assert got_ids_scores == want_scores
+    # headers accessible through the engine
+    h = engine.get_reference_header(result.reference_ids[0])
+    assert h.startswith("prot")
+
+
+def test_scan_num_top_exceeds_db(rng, tmp_path):
+    recs = _random_records(rng, 4)
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    engine = SearchEngine(num_top=10, qcap=64)
+    engine.set_database(load_db(str(tmp_path / "db")))
+    result = engine.scan("ARNDARND")
+    assert len(result.scores) == 4  # min(top, numSequences)
+
+
+def test_scan_query_too_long():
+    engine = SearchEngine(qcap=32)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(3, 20)))
+    with pytest.raises(ValueError):
+        engine.scan("A" * 100)
+
+
+def test_scan_unknown_residues(rng):
+    """Query with X/B/Z etc. (all map to UNKNOWN) still scans correctly."""
+    engine = SearchEngine(num_top=3, qcap=64)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(5, 30)))
+    result = engine.scan("AXXXBZRN")
+    cfg = engine.scoring
+    want = sw_score_scalar(
+        encode("AXXXBZRN"), engine.db.get_sequence(0), cfg.matrix, cfg.gop, cfg.gex
+    )
+    assert result.scores[0] == want
+
+
+def test_total_timer(rng):
+    engine = SearchEngine(num_top=1, qcap=64)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(5, 30)))
+    engine.total_timer_start()
+    engine.scan("ARND")
+    engine.scan("WWWW")
+    stats = engine.total_timer_stop()
+    assert stats.seconds > 0
+    assert stats.gcups > 0
