@@ -79,12 +79,14 @@ class SearchEngine:
         backend: str = "auto",
         qcap: int = sw_pallas.QCAP,
         bucket_edges=None,
+        mesh=None,
         verbose: bool = False,
     ):
         self.scoring = scoring or make_scoring_config("blosum62")
         self.num_top = num_top
         self.qcap = qcap
         self.bucket_edges = bucket_edges
+        self.mesh = mesh  # jax.sharding.Mesh for DB-sharded multi-chip scans
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -102,18 +104,21 @@ class SearchEngine:
         t0 = time.perf_counter()
         self.db = db
         self.packed = pack_db(db, edges=self.bucket_edges)
-        self._bucket_tiles = [jnp.asarray(b.tiles) for b in self.packed.buckets]
-        # Slot -> global reference id map, concatenated in bucket order.
-        flat_idx = np.concatenate(
-            [b.seq_index.reshape(-1) for b in self.packed.buckets]
-        ) if self.packed.buckets else np.zeros(0, np.int32)
-        self._flat_idx = jnp.asarray(flat_idx)
-        self._valid = jnp.asarray(flat_idx >= 0)
         self._matrix_flat = jnp.asarray(
             self.scoring.matrix.astype(np.int32).reshape(-1)
         )
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
-        self._scan_fn = self._build_scan_fn()
+        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+            self._scan_fn = self._build_sharded_scan_fn()
+        else:
+            self._bucket_tiles = [jnp.asarray(b.tiles) for b in self.packed.buckets]
+            # Slot -> global reference id map, concatenated in bucket order.
+            flat_idx = np.concatenate(
+                [b.seq_index.reshape(-1) for b in self.packed.buckets]
+            ) if self.packed.buckets else np.zeros(0, np.int32)
+            self._flat_idx = jnp.asarray(flat_idx)
+            self._valid = jnp.asarray(flat_idx >= 0)
+            self._scan_fn = self._build_scan_fn()
         if self.verbose:
             dt = time.perf_counter() - t0
             print(
@@ -167,11 +172,14 @@ class SearchEngine:
                         params[0],
                     )
                 parts.append(s.reshape(-1))
-            if not parts or k == 0:
+            if not parts:
                 return (jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32))
             allscores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             allscores = jnp.where(valid, allscores, -1.0)
-            vals, idx = jax.lax.top_k(allscores, k)
+            # k == 0 (reference --top 0) must still execute the kernels, so
+            # the jit always returns >=1 result (empty outputs would let XLA
+            # dead-code-eliminate the whole scan); scan() slices to k.
+            vals, idx = jax.lax.top_k(allscores, max(1, k))
             return vals, jnp.take(flat_idx, idx)
 
         def run(qpad, params):
@@ -184,6 +192,23 @@ class SearchEngine:
                 self._matrix_flat,
                 self._matrix_f32,
             )
+
+        return run
+
+    def _build_sharded_scan_fn(self):
+        from .parallel import sharding as sh
+
+        mesh = self.mesh
+        ndev = len(mesh.devices.flat)
+        sh.pad_tiles_for_mesh(self.packed, ndev)
+        tiles, seq_idx, _ = sh.shard_bucket_arrays(self.packed, mesh)
+        long_flags = tuple(b.is_long for b in self.packed.buckets)
+        fn = sh.build_sharded_scan(
+            mesh, long_flags, self.backend == "pallas", self.results_per_query
+        )
+
+        def run(qpad, params):
+            return fn(qpad, params, tiles, seq_idx, self._matrix_flat, self._matrix_f32)
 
         return run
 
@@ -206,6 +231,8 @@ class SearchEngine:
         vals, ids = self._scan_fn(jnp.asarray(qpad), jnp.asarray(params))
         vals, ids = jax.block_until_ready((vals, ids))
         seconds = time.perf_counter() - t0
+        k = self.results_per_query
+        vals, ids = vals[:k], ids[:k]
         cells = float(nq) * float(self.packed.total_real_chars)
         self._total_cells += cells
         stats = BenchmarkStats(

@@ -1,0 +1,72 @@
+"""Multi-device DB-sharded scan on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from cudasw4_tpu import encode
+from cudasw4_tpu.db.fasta import write_fasta
+from cudasw4_tpu.db.format import load_db, make_db, pseudo_to_dbdata
+from cudasw4_tpu.db.pseudo import make_pseudo_db
+from cudasw4_tpu.engine import SearchEngine
+from cudasw4_tpu.parallel.sharding import make_mesh
+
+AAS = "ARNDCQEGHILKMFPSTWYV"
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def _db(tmp_path, rng, n=60, max_len=90):
+    recs = []
+    for i in range(n):
+        ln = int(rng.integers(3, max_len))
+        recs.append((f"p{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    return load_db(str(tmp_path / "db"))
+
+
+def test_sharded_matches_single_device(tmp_path, rng):
+    db = _db(tmp_path, rng)
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+
+    single = SearchEngine(num_top=10, qcap=64)
+    single.set_database(db)
+    want = single.scan(query)
+
+    mesh = make_mesh()
+    sharded = SearchEngine(num_top=10, qcap=64, mesh=mesh)
+    sharded.set_database(db)
+    got = sharded.scan(query)
+
+    assert got.scores == want.scores
+    # ids may permute only within equal scores
+    ws = {}
+    for s, r in zip(want.scores, want.reference_ids):
+        ws.setdefault(s, set()).add(r)
+    for s, r in zip(got.scores, got.reference_ids):
+        assert r in ws[s]
+
+
+def test_sharded_pseudo_db():
+    mesh = make_mesh()
+    engine = SearchEngine(num_top=4, qcap=64, mesh=mesh)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(10, 40)))
+    result = engine.scan("ARNDCQEGHILKMFPSTWYV")
+    assert len(result.scores) == 4
+    assert len(set(result.scores)) == 1  # identical sequences
+    assert all(r >= 0 for r in result.reference_ids)
+
+
+def test_sharded_top_exceeds_shard(tmp_path, rng):
+    """k larger than any single shard's real sequence count."""
+    db = _db(tmp_path, rng, n=10)
+    mesh = make_mesh()
+    engine = SearchEngine(num_top=10, qcap=64, mesh=mesh)
+    engine.set_database(db)
+    result = engine.scan("ARND")
+    assert len(result.scores) == 10
+    assert sorted(result.reference_ids) == list(range(10))
