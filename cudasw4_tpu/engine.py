@@ -229,7 +229,10 @@ class SearchEngine:
         )
         t0 = time.perf_counter()
         vals, ids = self._scan_fn(jnp.asarray(qpad), jnp.asarray(params))
-        vals, ids = jax.block_until_ready((vals, ids))
+        # Materialize to host before stopping the clock: on tunneled
+        # platforms block_until_ready returns before execution finishes.
+        vals = np.asarray(vals)
+        ids = np.asarray(ids)
         seconds = time.perf_counter() - t0
         k = self.results_per_query
         vals, ids = vals[:k], ids[:k]

@@ -58,22 +58,26 @@ def _shift_down(x, rows, fill):
     return jnp.concatenate([pad, x[: L - rows]], axis=0)
 
 
-def _excl_cummax(u):
+def _excl_cummax(u, neg):
     """Exclusive running max along axis 0 (Hillis-Steele, log2(L) steps)."""
     L = u.shape[0]
-    v = _shift_down(u, 1, NEG)
+    v = _shift_down(u, 1, neg)
     d = 1
     while d < L - 1:
-        v = jnp.maximum(v, _shift_down(v, d, NEG))
+        v = jnp.maximum(v, _shift_down(v, d, neg))
         d *= 2
     return v
 
 
-def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, m_ref, *, L, NS):
-    """One grid step = one tile of NS subjects, full query sweep."""
+def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, m_ref, *, L, NS, dtype=jnp.int32):
+    """One grid step = one tile of NS subjects, full query sweep.
+
+    ``dtype``: DP lane type — int32 by default (scores are integers and i32
+    max/add measures faster than f32 on this VPU).
+    """
     nq = params_ref[0]
-    gop = params_ref[1].astype(jnp.float32)
-    gex = params_ref[2].astype(jnp.float32)
+    gop = params_ref[1].astype(dtype)
+    gex = params_ref[2].astype(dtype)
 
     x = x_ref[0]  # [L, NS] int8
 
@@ -95,23 +99,26 @@ def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, 
         lut_ref[t] = row.astype(jnp.int8)
 
     # --- Constant per-column offsets for the lazy-gap scan. ---
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(jnp.float32)
-    c1 = gop - (jcol + 1.0) * gex
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).astype(dtype)
+    one = jnp.asarray(1, dtype)
+    c1 = gop - (jcol + one) * gex
     c2 = jcol * gex
+    neg = jnp.asarray(NEG, dtype)
+    zero = jnp.asarray(0, dtype)
 
     # DP state lives in VMEM scratch (value-carried fori_loop state trips a
     # Mosaic phi-layout bug with splat initialisers on this version).
-    h_ref[...] = jnp.zeros((L, NS), jnp.float32)
-    f_ref[...] = jnp.full((L, NS), NEG, jnp.float32)
-    m_ref[...] = jnp.zeros((L, NS), jnp.float32)
+    h_ref[...] = jnp.zeros((L, NS), dtype)
+    f_ref[...] = jnp.full((L, NS), neg, dtype)
+    m_ref[...] = jnp.zeros((L, NS), dtype)
 
     def step(i, _):
         H = h_ref[...]
         qi = q_ref[i]
-        sub = lut_ref[qi].astype(jnp.float32)  # [L, NS]
+        sub = lut_ref[qi].astype(dtype)  # [L, NS]
         F = jnp.maximum(f_ref[...] + gex, H + gop)
-        Ht = jnp.maximum(jnp.maximum(_shift_down(H, 1, 0.0) + sub, F), 0.0)
-        E = _excl_cummax(Ht + c1) + c2
+        Ht = jnp.maximum(jnp.maximum(_shift_down(H, 1, zero) + sub, F), zero)
+        E = _excl_cummax(Ht + c1, neg) + c2
         Hn = jnp.maximum(Ht, E)
         h_ref[...] = Hn
         f_ref[...] = F
@@ -121,7 +128,7 @@ def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, 
     jax.lax.fori_loop(0, nq, step, 0)
     # Output block is (1, 8, NS) to satisfy TPU tiling; broadcast the
     # per-lane max across the 8 sublanes and slice row 0 outside.
-    best = jnp.max(m_ref[...], axis=0, keepdims=True)  # [1, NS]
+    best = jnp.max(m_ref[...], axis=0, keepdims=True).astype(jnp.float32)
     out_ref[0] = jnp.broadcast_to(best, (8, NS))
 
 
@@ -147,9 +154,9 @@ def score_bucket_pallas(
         out_specs=pl.BlockSpec((1, 8, NS), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((ALPHABET_SIZE, L, NS), jnp.int8),
-            pltpu.VMEM((L, NS), jnp.float32),
-            pltpu.VMEM((L, NS), jnp.float32),
-            pltpu.VMEM((L, NS), jnp.float32),
+            pltpu.VMEM((L, NS), jnp.int32),
+            pltpu.VMEM((L, NS), jnp.int32),
+            pltpu.VMEM((L, NS), jnp.int32),
         ],
     )
 
