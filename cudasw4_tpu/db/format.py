@@ -187,8 +187,32 @@ def make_db(
 
     Mirrors /root/reference/src/makedb.cpp:279-374 (pad to x4 with ' ' which
     encodes to UNKNOWN, convert, stable sort by length, write files).
-    Returns summary stats.
+    Returns summary stats.  Uses the native C++ parser when available
+    (cudasw4_tpu/native/io.cpp), falling back to the Python reader.
     """
+    if records is None:
+        from ..native import parse_fasta_native
+
+        native = None
+        try:
+            native = parse_fasta_native(input_path)
+        except ValueError:
+            raise
+        except Exception:
+            native = None  # any binding issue -> python fallback
+        if native is not None:
+            chars, offsets, lengths, headers = native
+            if len(lengths) > MAX_SEQUENCES_IN_DB:
+                raise ValueError(f"more than {MAX_SEQUENCES_IN_DB} sequences")
+            if len(lengths) and int(lengths.max()) > MAX_SEQUENCE_LENGTH:
+                raise ValueError("sequence exceeds maximum length")
+            write_db_from_arrays(prefix, chars, offsets, lengths, headers)
+            return {
+                "num_sequences": int(len(lengths)),
+                "num_chars": int(lengths.astype(np.int64).sum()),
+                "num_padded_chars": int(len(chars)),
+            }
+
     chars_parts: list[np.ndarray] = []
     offsets = [0]
     lengths: list[int] = []

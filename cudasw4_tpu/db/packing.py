@@ -100,6 +100,7 @@ def pack_db(
     db,
     edges=None,
     slab_tiles: int = 64,
+    use_native: bool = True,
 ) -> PackedDB:
     """Pack a length-sorted DBData into buckets of fixed-shape tiles.
 
@@ -135,6 +136,26 @@ def pack_db(
         L = edge
         NS = lanes_for_length(L)
         T = -(-count // NS)
+
+        native = None
+        if use_native:
+            from ..native import pack_bucket_native
+
+            native = pack_bucket_native(
+                np.asarray(chars), offsets, lengths.astype(np.int32),
+                start, stop, L, NS,
+            )
+        if native is not None:
+            tiles, seq_index, seq_lengths = native
+            buckets.append(
+                PackedBucket(
+                    L=L, NS=NS, tiles=tiles, seq_index=seq_index,
+                    lengths=seq_lengths,
+                )
+            )
+            start = stop
+            continue
+
         tiles = np.full((T, L, NS), UNKNOWN, dtype=np.int8)
         seq_index = np.full((T, NS), -1, dtype=np.int32)
         seq_lengths = np.zeros((T, NS), dtype=np.int32)

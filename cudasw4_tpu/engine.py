@@ -219,9 +219,10 @@ class SearchEngine:
         codes = encode(sequence) if isinstance(sequence, (str, bytes)) else np.asarray(sequence, np.int8)
         nq = len(codes)
         if nq > self.qcap:
-            raise ValueError(
-                f"query length {nq} exceeds current capacity {self.qcap}"
-            )
+            # Queries longer than the kernel's SMEM-resident capacity take
+            # the portable XLA path (any length, tile-chunked memory) — the
+            # analog of the reference's many-pass escalation for extremes.
+            return self._scan_long_query(codes)
         qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
         qpad[:nq] = codes
         params = np.array(
@@ -247,6 +248,47 @@ class SearchEngine:
             scores=[int(v) for v in np.asarray(vals)],
             reference_ids=[int(i) for i in np.asarray(ids)],
             stats=stats,
+        )
+
+    def _scan_long_query(self, codes) -> ScanResult:
+        from .ops.sw_jax import score_tiles_jnp_chunked
+
+        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+            raise NotImplementedError(
+                "queries longer than qcap on a multi-chip mesh are not "
+                "supported yet; raise qcap or scan single-chip"
+            )
+        nq = len(codes)
+        qpad_len = _round_up(nq, 256)
+        qpad = np.full(qpad_len, UNKNOWN, dtype=np.int32)
+        qpad[:nq] = codes
+        qdev = jnp.asarray(qpad)
+        gop = jnp.float32(self.scoring.gop)
+        gex = jnp.float32(self.scoring.gex)
+        t0 = time.perf_counter()
+        parts = [
+            np.asarray(
+                score_tiles_jnp_chunked(
+                    tiles, qdev, self._matrix_f32, gop, gex, jnp.int32(nq)
+                )
+            ).reshape(-1)
+            for tiles in self._bucket_tiles
+        ]
+        flat_idx = np.asarray(self._flat_idx)
+        scores = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        scores = np.where(flat_idx >= 0, scores, -1.0)
+        k = self.results_per_query
+        order = np.lexsort((np.arange(len(scores)), -scores))[:k]
+        seconds = time.perf_counter() - t0
+        cells = float(nq) * float(self.packed.total_real_chars)
+        self._total_cells += cells
+        return ScanResult(
+            scores=[int(scores[i]) for i in order],
+            reference_ids=[int(flat_idx[i]) for i in order],
+            stats=BenchmarkStats(
+                seconds=seconds,
+                gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
+            ),
         )
 
     # --------------------------------------------------------------- timer

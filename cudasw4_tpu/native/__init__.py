@@ -1,0 +1,137 @@
+"""Native (C++) IO acceleration: build-on-demand ctypes bindings.
+
+The shared library is compiled once from io.cpp with the system toolchain
+and cached next to the source.  Everything here is optional — every caller
+has a pure-Python fallback — and can be disabled with CUDASW4_TPU_NATIVE=0.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "io.cpp")
+_SO = os.path.join(_HERE, "libtpusw_io.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO, "-lz",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError):
+        return None
+
+
+def get_lib():
+    """Returns the loaded ctypes library, or None if unavailable."""
+    global _lib, _tried
+    if os.environ.get("CUDASW4_TPU_NATIVE", "1") == "0":
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.tpusw_parse_fasta.restype = ctypes.c_void_p
+        lib.tpusw_parse_fasta.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        for name in ("tpusw_num_sequences", "tpusw_num_chars", "tpusw_headers_size"):
+            getattr(lib, name).restype = ctypes.c_int64
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.tpusw_chars.restype = ctypes.POINTER(ctypes.c_int8)
+        lib.tpusw_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.tpusw_lengths.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.tpusw_headers.restype = ctypes.POINTER(ctypes.c_char)
+        lib.tpusw_header_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+        for name in (
+            "tpusw_chars", "tpusw_offsets", "tpusw_lengths",
+            "tpusw_headers", "tpusw_header_offsets", "tpusw_free_result",
+        ):
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.tpusw_pack_bucket.restype = None
+        lib.tpusw_pack_bucket.argtypes = [
+            np.ctypeslib.ndpointer(np.int8, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int8, flags="C,WRITEABLE"),
+            np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
+            np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
+        ]
+        _lib = lib
+        return _lib
+
+
+def parse_fasta_native(path: str):
+    """Parse+encode+pad a FASTA/FASTQ(.gz) file natively.
+
+    Returns (chars int8[], offsets int64[], lengths int32[],
+    headers list[bytes]) or None if the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    errbuf = ctypes.create_string_buffer(512)
+    h = lib.tpusw_parse_fasta(path.encode(), errbuf, len(errbuf))
+    if not h:
+        raise ValueError(
+            f"native FASTA parse failed: {errbuf.value.decode(errors='replace')}"
+        )
+    try:
+        n = lib.tpusw_num_sequences(h)
+        nchars = lib.tpusw_num_chars(h)
+        hsize = lib.tpusw_headers_size(h)
+        chars = np.ctypeslib.as_array(lib.tpusw_chars(h), (max(nchars, 1),))[
+            :nchars
+        ].copy()
+        offsets = np.ctypeslib.as_array(lib.tpusw_offsets(h), (n + 1,)).copy()
+        lengths = np.ctypeslib.as_array(lib.tpusw_lengths(h), (max(n, 1),))[:n].copy()
+        hoffs = np.ctypeslib.as_array(lib.tpusw_header_offsets(h), (n + 1,)).copy()
+        hblob = ctypes.string_at(lib.tpusw_headers(h), hsize) if hsize else b""
+        headers = [
+            hblob[int(hoffs[i]) : int(hoffs[i + 1])] for i in range(n)
+        ]
+        return chars.astype(np.int8), offsets, lengths, headers
+    finally:
+        lib.tpusw_free_result(h)
+
+
+def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS):
+    """Native position-major tile packing; returns (tiles, seq_index,
+    seq_lengths) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    count = stop - start
+    T = -(-count // NS)
+    tiles = np.empty((T, L, NS), dtype=np.int8)
+    out_idx = np.empty((T, NS), dtype=np.int32)
+    out_len = np.empty((T, NS), dtype=np.int32)
+    lib.tpusw_pack_bucket(
+        np.ascontiguousarray(chars, dtype=np.int8),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        np.ascontiguousarray(lengths, dtype=np.int32),
+        start, stop, L, NS, tiles, out_idx, out_len,
+    )
+    return tiles, out_idx, out_len

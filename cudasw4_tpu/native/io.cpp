@@ -1,0 +1,206 @@
+// Native IO hot paths: FASTA/FASTQ(.gz) parsing+encoding and tile packing.
+//
+// Plays the role of the reference's native IO layer — kseqpp streaming
+// reader (/root/reference/src/kseqpp/), ConvertAA_20 encoding
+// (/root/reference/src/convert.cuh) and the makedb parse/pad hot loop
+// (/root/reference/src/makedb.cpp:107-180) — as a small C++17 shared
+// library driven from Python via ctypes.  Semantics must match the
+// pure-Python fallbacks in db/fasta.py and db/packing.py byte-for-byte
+// (cross-checked in tests/test_native.py).
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC io.cpp -o libtpusw_io.so -lz
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int8_t kUnknown = 20;
+
+// NCBI order A R N D C Q E G H I L K M F P S T W Y V, everything else -> 20.
+struct EncodeTable {
+    int8_t table[256];
+    EncodeTable() {
+        for (int i = 0; i < 256; i++) table[i] = kUnknown;
+        const char* aas = "ARNDCQEGHILKMFPSTWYV";
+        for (int i = 0; aas[i]; i++) table[(unsigned char)aas[i]] = (int8_t)i;
+    }
+};
+const EncodeTable kEncode;
+
+template <class T>
+struct Buf {
+    T* data = nullptr;
+    int64_t size = 0;
+    int64_t cap = 0;
+    void reserve(int64_t n) {
+        if (n <= cap) return;
+        int64_t ncap = cap ? cap : 4096;
+        while (ncap < n) ncap += ncap / 2;
+        data = (T*)realloc(data, ncap * sizeof(T));
+        cap = ncap;
+    }
+    void push(const T* src, int64_t n) {
+        reserve(size + n);
+        memcpy(data + size, src, n * sizeof(T));
+        size += n;
+    }
+    void push1(T v) {
+        reserve(size + 1);
+        data[size++] = v;
+    }
+};
+
+struct ParseResult {
+    Buf<int8_t> chars;        // encoded, each sequence padded to x4
+    Buf<int64_t> offsets;     // n+1
+    Buf<int32_t> lengths;     // n
+    Buf<char> headers;        // concatenated
+    Buf<int64_t> headerOffsets;  // n+1
+};
+
+}  // namespace
+
+extern "C" {
+
+// Opaque handle API so Python can copy the arrays into numpy and free once.
+void* tpusw_parse_fasta(const char* path, char* errbuf, int errlen) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        snprintf(errbuf, errlen, "cannot open %s", path);
+        return nullptr;
+    }
+    gzbuffer(f, 1 << 20);
+
+    auto* res = new ParseResult();
+    res->offsets.push1(0);
+    res->headerOffsets.push1(0);
+
+    std::vector<char> line(1 << 16);
+    std::string seq;
+    seq.reserve(1 << 16);
+    bool have_record = false;
+    bool fastq = false;
+    int64_t qual_needed = 0;
+
+    auto flush_record = [&]() {
+        if (!have_record) return;
+        int64_t len = (int64_t)seq.size();
+        int64_t padded = (len + 3) / 4 * 4;
+        res->chars.reserve(res->chars.size + padded);
+        int8_t* dst = res->chars.data + res->chars.size;
+        const unsigned char* src = (const unsigned char*)seq.data();
+        for (int64_t i = 0; i < len; i++) dst[i] = kEncode.table[src[i]];
+        for (int64_t i = len; i < padded; i++) dst[i] = kUnknown;
+        res->chars.size += padded;
+        res->offsets.push1(res->chars.size);
+        res->lengths.push1((int32_t)len);
+        seq.clear();
+        have_record = false;
+    };
+
+    while (gzgets(f, line.data(), (int)line.size())) {
+        int64_t n = (int64_t)strlen(line.data());
+        // handle lines longer than the buffer
+        std::string full(line.data(), n);
+        while (n > 0 && full.back() != '\n' && !gzeof(f)) {
+            if (!gzgets(f, line.data(), (int)line.size())) break;
+            n = (int64_t)strlen(line.data());
+            full.append(line.data(), n);
+        }
+        while (!full.empty() && (full.back() == '\n' || full.back() == '\r'))
+            full.pop_back();
+        if (qual_needed > 0) {
+            qual_needed -= (int64_t)full.size();
+            if (qual_needed <= 0) {
+                flush_record();
+                fastq = false;
+            }
+            continue;
+        }
+        if (full.empty()) continue;
+        char lead = full[0];
+        if (lead == '>' || lead == '@') {
+            flush_record();
+            res->headers.push(full.data() + 1, (int64_t)full.size() - 1);
+            res->headerOffsets.push1(res->headers.size);
+            have_record = true;
+            fastq = (lead == '@');
+        } else if (lead == '+' && fastq) {
+            qual_needed = (int64_t)seq.size();
+            if (qual_needed == 0) {  // empty sequence: flush immediately
+                flush_record();
+                fastq = false;
+            }
+        } else {
+            if (!have_record) {
+                snprintf(errbuf, errlen, "sequence data before first header");
+                gzclose(f);
+                delete res;
+                return nullptr;
+            }
+            seq.append(full);
+        }
+    }
+    flush_record();
+    gzclose(f);
+    return res;
+}
+
+int64_t tpusw_num_sequences(void* h) { return ((ParseResult*)h)->lengths.size; }
+int64_t tpusw_num_chars(void* h) { return ((ParseResult*)h)->chars.size; }
+int64_t tpusw_headers_size(void* h) { return ((ParseResult*)h)->headers.size; }
+const int8_t* tpusw_chars(void* h) { return ((ParseResult*)h)->chars.data; }
+const int64_t* tpusw_offsets(void* h) { return ((ParseResult*)h)->offsets.data; }
+const int32_t* tpusw_lengths(void* h) { return ((ParseResult*)h)->lengths.data; }
+const char* tpusw_headers(void* h) { return ((ParseResult*)h)->headers.data; }
+const int64_t* tpusw_header_offsets(void* h) {
+    return ((ParseResult*)h)->headerOffsets.data;
+}
+
+void tpusw_free_result(void* h) {
+    auto* res = (ParseResult*)h;
+    free(res->chars.data);
+    free(res->offsets.data);
+    free(res->lengths.data);
+    free(res->headers.data);
+    free(res->headerOffsets.data);
+    delete res;
+}
+
+// Pack sequences [start, stop) of a length-sorted db into position-major
+// tiles [T, L, NS] (padded with kUnknown).  out must hold T*L*NS bytes,
+// out_idx/out_len T*NS elements.
+void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
+                       const int32_t* lengths, int64_t start, int64_t stop,
+                       int64_t L, int64_t NS, int8_t* out, int32_t* out_idx,
+                       int32_t* out_len) {
+    int64_t count = stop - start;
+    int64_t T = (count + NS - 1) / NS;
+    memset(out, kUnknown, (size_t)(T * L * NS));
+    for (int64_t t = 0; t < T; t++) {
+        for (int64_t s = 0; s < NS; s++) {
+            int64_t k = t * NS + s;
+            if (k < count) {
+                int64_t g = start + k;
+                out_idx[t * NS + s] = (int32_t)g;
+                out_len[t * NS + s] = lengths[g];
+                const int8_t* src = chars + offsets[g];
+                int8_t* dst = out + t * L * NS + s;  // stride NS over j
+                int64_t len = lengths[g];
+                for (int64_t j = 0; j < len; j++) dst[j * NS] = src[j];
+            } else {
+                out_idx[t * NS + s] = -1;
+                out_len[t * NS + s] = 0;
+            }
+        }
+    }
+}
+
+}  // extern "C"

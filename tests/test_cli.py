@@ -129,3 +129,44 @@ def test_interactive_mode(small_db, tmp_path, monkeypatch, capsys):
 def test_makedb_usage(capsys):
     assert makedb_cli.run([]) == 0
     assert "Usage:" in capsys.readouterr().out
+
+
+def test_modifydb_verify_and_lengths(small_db, tmp_path, capsys):
+    from cudasw4_tpu.cli import modifydb as modifydb_cli
+
+    prefix, qf, recs = small_db
+    assert modifydb_cli.run(["verify", prefix]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("OK: 20 sequences")
+    assert modifydb_cli.run(["lengthsToI64", prefix]) == 0
+    import numpy as np
+    lens64 = np.fromfile(prefix + "0lengths_i64", dtype=np.int64)
+    lens32 = np.fromfile(prefix + "0lengths", dtype=np.int32)
+    assert np.array_equal(lens64, lens32.astype(np.int64))
+
+
+def test_modifydb_convert_chars(small_db, tmp_path, capsys):
+    from cudasw4_tpu.cli import modifydb as modifydb_cli
+    import numpy as np
+    from cudasw4_tpu.db.format import load_db
+
+    prefix, qf, recs = small_db
+    # fabricate a raw-ASCII db: decode the chars file back to letters
+    from cudasw4_tpu.constants import DECODE_TABLE
+    path = prefix + "0chars"
+    codes = np.fromfile(path, dtype=np.int8)
+    ascii_chars = DECODE_TABLE[codes.astype(np.uint8)]
+    # '-' (unknown/padding) is not a valid input letter; use ' ' like makedb
+    ascii_chars[ascii_chars == ord("-")] = ord(" ")
+    ascii_chars.tofile(path)
+    assert modifydb_cli.run(["verify", prefix]) == 1  # detects raw ASCII
+    assert modifydb_cli.run(["convertcharstonumber1", prefix]) == 0
+    assert modifydb_cli.run(["verify", prefix]) == 0
+    assert np.array_equal(np.fromfile(path, dtype=np.int8), codes)
+
+
+def test_modifydb_unknown_op(small_db, capsys):
+    from cudasw4_tpu.cli import modifydb as modifydb_cli
+
+    prefix, _, _ = small_db
+    assert modifydb_cli.run(["frobnicate", prefix]) == 1

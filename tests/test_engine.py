@@ -81,11 +81,11 @@ def test_scan_num_top_exceeds_db(rng, tmp_path):
     assert len(result.scores) == 4  # min(top, numSequences)
 
 
-def test_scan_query_too_long():
-    engine = SearchEngine(qcap=32)
+def test_scan_query_beyond_qcap_uses_fallback():
+    engine = SearchEngine(qcap=32, num_top=1)
     engine.set_database(pseudo_to_dbdata(make_pseudo_db(3, 20)))
-    with pytest.raises(ValueError):
-        engine.scan("A" * 100)
+    result = engine.scan("A" * 100)  # silently routed to the portable path
+    assert len(result.scores) == 1
 
 
 def test_scan_unknown_residues(rng):
@@ -109,3 +109,17 @@ def test_total_timer(rng):
     stats = engine.total_timer_stop()
     assert stats.seconds > 0
     assert stats.gcups > 0
+
+
+def test_long_query_fallback(rng):
+    """Queries beyond the kernel qcap take the portable path, exactly."""
+    engine = SearchEngine(num_top=3, qcap=32)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(6, 25)))
+    cfg = engine.scoring
+    long_q = rng.integers(0, 20, size=75)  # > qcap=32
+    result = engine.scan(long_q.astype(np.int8))
+    want = sw_score_scalar(
+        long_q, engine.db.get_sequence(0), cfg.matrix, cfg.gop, cfg.gex
+    )
+    assert result.scores == [want] * 3
+    assert result.stats.gcups > 0

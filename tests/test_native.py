@@ -1,0 +1,103 @@
+"""Native C++ IO library vs pure-Python fallbacks (byte-for-byte)."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from cudasw4_tpu.constants import encode, pad_length
+from cudasw4_tpu.db.fasta import read_sequences, write_fasta
+from cudasw4_tpu.db.packing import pack_db
+from cudasw4_tpu.native import get_lib, pack_bucket_native, parse_fasta_native
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+AAS = "ARNDCQEGHILKMFPSTWYV"
+
+
+def _python_reference(path):
+    chars, offsets, lengths, headers = [], [0], [], []
+    total = 0
+    for rec in read_sequences(path):
+        padded = rec.sequence + " " * (pad_length(len(rec.sequence)) - len(rec.sequence))
+        chars.append(encode(padded))
+        total += len(padded)
+        offsets.append(total)
+        lengths.append(len(rec.sequence))
+        headers.append(rec.header.encode("latin-1"))
+    return (
+        np.concatenate(chars) if chars else np.zeros(0, np.int8),
+        np.asarray(offsets, np.int64),
+        np.asarray(lengths, np.int32),
+        headers,
+    )
+
+
+def _check(path):
+    native = parse_fasta_native(path)
+    want = _python_reference(path)
+    assert native is not None
+    assert np.array_equal(native[0], want[0])
+    assert np.array_equal(native[1], want[1])
+    assert np.array_equal(native[2], want[2])
+    assert native[3] == want[3]
+
+
+def test_parse_plain_fasta(tmp_path, rng):
+    recs = []
+    for i in range(30):
+        ln = int(rng.integers(1, 200))
+        recs.append((f"id{i} some description {i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    p = str(tmp_path / "t.fa")
+    write_fasta(p, recs)
+    _check(p)
+
+
+def test_parse_gzip_multiline_crlf(tmp_path):
+    p = str(tmp_path / "t.fa.gz")
+    content = ">h1 desc\r\nMKV\r\nLAA\r\n\r\n>h2\nWWxzj*\n>empty\n>h4\nACDE\n"
+    with gzip.open(p, "wt", newline="") as f:
+        f.write(content)
+    _check(p)
+
+
+def test_parse_fastq(tmp_path):
+    p = str(tmp_path / "t.fq")
+    with open(p, "w") as f:
+        f.write("@r1 desc\nMKVL\n+\n!!!!\n@r2\nWWAA\nCC\n+r2\n!!!!!!\n@r3\nV\n+\n!\n")
+    _check(p)
+
+
+def test_parse_long_lines(tmp_path, rng):
+    # sequence line longer than the 64KB native line buffer
+    seq = "".join(AAS[c] for c in rng.integers(0, 20, 200_000))
+    p = str(tmp_path / "long.fa")
+    with open(p, "w") as f:
+        f.write(f">long protein\n{seq}\n>tail\nWW\n")
+    _check(p)
+
+
+def test_parse_missing_file(tmp_path):
+    with pytest.raises(ValueError):
+        parse_fasta_native(str(tmp_path / "nope.fa"))
+
+
+def test_pack_bucket_native_matches_python(tmp_path, rng):
+    from cudasw4_tpu.db.format import load_db, make_db
+
+    recs = []
+    for i in range(137):
+        ln = int(rng.integers(1, 300))
+        recs.append((f"s{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "m.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    a = pack_db(db, use_native=True)
+    b = pack_db(db, use_native=False)
+    assert len(a.buckets) == len(b.buckets)
+    for x, y in zip(a.buckets, b.buckets):
+        assert (x.L, x.NS) == (y.L, y.NS)
+        assert np.array_equal(x.tiles, y.tiles)
+        assert np.array_equal(x.seq_index, y.seq_index)
+        assert np.array_equal(x.lengths, y.lengths)
