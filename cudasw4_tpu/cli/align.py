@@ -197,7 +197,15 @@ def run(argv=None) -> int:
     enable_persistent_compilation_cache()
     scoring = make_scoring_config(opts["mat"], gop=opts["gop"], gex=opts["gex"])
     engine = SearchEngine(
-        scoring=scoring, num_top=opts["top"], verbose=opts["verbose"]
+        scoring=scoring,
+        num_top=opts["top"],
+        # --maxGpuMem caps device residency; DBs beyond it stream per scan.
+        # --uploadFull forces residency like the reference flag.
+        max_device_bytes=(
+            (1 << 62) if opts["upload_full"] else opts["max_gpu_mem"]
+        ),
+        stream_chunk_bytes=opts["max_batch_bytes"],
+        verbose=opts["verbose"],
     )
     if opts["verbose"]:
         print("Selected options:")

@@ -40,15 +40,16 @@ DEFAULT_BUCKET_EDGES = [
 MAX_SINGLE_PASS = 2048
 LONG_CHUNK = 2048
 
-#: Per-tile element target: NS is chosen so L*NS ~= this many chars.
-TILE_ELEMS = 131072
+#: Lanes per tile.  gridsearch autotuning on TPU v5e (2026-08) found
+#: NS=128 fastest for every bucket length (smaller tiles pipeline better
+#: through the Pallas grid than wide ones); override per deployment with
+#: the gridsearch CLI if a different generation prefers wider tiles.
 MIN_LANES = 128
 MAX_LANES = 1024
 
 
 def lanes_for_length(L: int) -> int:
-    ns = max(MIN_LANES, min(MAX_LANES, (TILE_ELEMS // L) // 128 * 128))
-    return ns
+    return MIN_LANES
 
 
 def bucket_length_for(length: int, edges=None) -> int:

@@ -80,6 +80,8 @@ class SearchEngine:
         qcap: int = sw_pallas.QCAP,
         bucket_edges=None,
         mesh=None,
+        max_device_bytes: int | None = None,
+        stream_chunk_bytes: int = 256 << 20,
         verbose: bool = False,
     ):
         self.scoring = scoring or make_scoring_config("blosum62")
@@ -87,6 +89,9 @@ class SearchEngine:
         self.qcap = qcap
         self.bucket_edges = bucket_edges
         self.mesh = mesh  # jax.sharding.Mesh for DB-sharded multi-chip scans
+        self.max_device_bytes = max_device_bytes
+        self.stream_chunk_bytes = stream_chunk_bytes
+        self.streaming = False
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -110,6 +115,14 @@ class SearchEngine:
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
         if self.mesh is not None and len(self.mesh.devices.flat) > 1:
             self._scan_fn = self._build_sharded_scan_fn()
+        elif self._db_exceeds_device_memory():
+            # DBs beyond device memory stream host->HBM per scan, the analog
+            # of the reference's batched copy pipeline (cudasw4.cuh:1490+,
+            # double-buffered via XLA async dispatch).
+            self.streaming = True
+            self._scan_fn = None
+            if self.verbose:
+                print("Database exceeds device memory budget: streaming mode")
         else:
             self._bucket_tiles = [jnp.asarray(b.tiles) for b in self.packed.buckets]
             # Slot -> global reference id map, concatenated in bucket order.
@@ -229,12 +242,16 @@ class SearchEngine:
             [nq, self.scoring.gop, self.scoring.gex, 0], dtype=np.int32
         )
         t0 = time.perf_counter()
-        vals, ids = self._scan_fn(jnp.asarray(qpad), jnp.asarray(params))
-        # Materialize to host before stopping the clock: on tunneled
-        # platforms block_until_ready returns before execution finishes.
-        vals = np.asarray(vals)
-        ids = np.asarray(ids)
-        seconds = time.perf_counter() - t0
+        if self.streaming:
+            vals, ids = self._scan_streaming(qpad, params)
+            seconds = time.perf_counter() - t0
+        else:
+            vals, ids = self._scan_fn(jnp.asarray(qpad), jnp.asarray(params))
+            # Materialize to host before stopping the clock: on tunneled
+            # platforms block_until_ready returns before execution finishes.
+            vals = np.asarray(vals)
+            ids = np.asarray(ids)
+            seconds = time.perf_counter() - t0
         k = self.results_per_query
         vals, ids = vals[:k], ids[:k]
         cells = float(nq) * float(self.packed.total_real_chars)
@@ -250,6 +267,76 @@ class SearchEngine:
             stats=stats,
         )
 
+    def _db_exceeds_device_memory(self) -> bool:
+        budget = self.max_device_bytes
+        if budget is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                budget = int(stats.get("bytes_limit", 12 << 30) * 0.7)
+            except Exception:
+                budget = 8 << 30
+        return self.packed.total_padded_chars > budget
+
+    def _scan_streaming(
+        self, qpad, params, force_jnp: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Stream DB tiles host->device chunk by chunk; up to two chunks are
+        in flight so transfer of chunk i+1 overlaps compute of chunk i."""
+        use_pallas = self.backend == "pallas" and not force_jnp
+        chunk_scores: list[tuple] = []
+        out_scores: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        qdev = jnp.asarray(qpad)
+        pdev = jnp.asarray(params)
+
+        def drain(limit):
+            while len(chunk_scores) > limit:
+                s, sidx = chunk_scores.pop(0)
+                s = np.asarray(s).reshape(-1)
+                ids = sidx.reshape(-1)
+                keep = ids >= 0
+                out_scores.append(s[keep])
+                out_ids.append(ids[keep])
+
+        for b in self.packed.buckets:
+            bytes_per_tile = b.L * b.NS
+            ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
+            T = b.num_tiles
+            ct = min(ct, T)
+            for t0 in range(0, T, ct):
+                t1 = min(t0 + ct, T)
+                chunk = b.tiles[t0:t1]
+                sidx = b.seq_index[t0:t1]
+                if t1 - t0 < ct:  # pad to the bucket's fixed chunk shape
+                    pad = ct - (t1 - t0)
+                    chunk = np.concatenate(
+                        [chunk, np.full((pad, b.L, b.NS), UNKNOWN, np.int8)]
+                    )
+                    sidx = np.concatenate(
+                        [sidx, np.full((pad, b.NS), -1, np.int32)]
+                    )
+                xdev = jax.device_put(chunk)
+                if use_pallas and not b.is_long:
+                    s = sw_pallas.score_bucket_pallas(
+                        xdev, qdev, self._matrix_flat, pdev
+                    )
+                else:
+                    s = score_tiles_jnp(
+                        xdev, qdev, self._matrix_f32,
+                        pdev[1].astype(jnp.float32), pdev[2].astype(jnp.float32),
+                        pdev[0],
+                    )
+                chunk_scores.append((s, sidx))
+                drain(2)  # keep two chunks in flight
+        drain(0)
+        scores = np.concatenate(out_scores) if out_scores else np.zeros(0, np.float32)
+        ids = np.concatenate(out_ids) if out_ids else np.zeros(0, np.int32)
+        k = self.results_per_query
+        if k == 0 or len(scores) == 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int32)
+        order = np.lexsort((ids, -scores))[:k]
+        return scores[order], ids[order]
+
     def _scan_long_query(self, codes) -> ScanResult:
         from .ops.sw_jax import score_tiles_jnp_chunked
 
@@ -262,6 +349,23 @@ class SearchEngine:
         qpad_len = _round_up(nq, 256)
         qpad = np.full(qpad_len, UNKNOWN, dtype=np.int32)
         qpad[:nq] = codes
+        if self.streaming:
+            params = np.array(
+                [nq, self.scoring.gop, self.scoring.gex, 0], dtype=np.int32
+            )
+            t0 = time.perf_counter()
+            vals, ids = self._scan_streaming(qpad, params, force_jnp=True)
+            seconds = time.perf_counter() - t0
+            cells = float(nq) * float(self.packed.total_real_chars)
+            self._total_cells += cells
+            return ScanResult(
+                scores=[int(v) for v in vals],
+                reference_ids=[int(i) for i in ids],
+                stats=BenchmarkStats(
+                    seconds=seconds,
+                    gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
+                ),
+            )
         qdev = jnp.asarray(qpad)
         gop = jnp.float32(self.scoring.gop)
         gex = jnp.float32(self.scoring.gex)

@@ -123,3 +123,40 @@ def test_long_query_fallback(rng):
     )
     assert result.scores == [want] * 3
     assert result.stats.gcups > 0
+
+
+def test_streaming_mode_matches_resident(tmp_path, rng):
+    """Tiny max_device_bytes forces streaming; results must be identical."""
+    recs = _random_records(rng, 50)
+    fa = str(tmp_path / "db.fa")
+    from cudasw4_tpu.db.fasta import write_fasta as _wf
+    _wf(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+
+    resident = SearchEngine(num_top=10, qcap=64)
+    resident.set_database(db)
+    streaming = SearchEngine(
+        num_top=10, qcap=64, max_device_bytes=1024, stream_chunk_bytes=4096
+    )
+    streaming.set_database(db)
+    assert streaming.streaming
+
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+    a = resident.scan(query)
+    b = streaming.scan(query)
+    assert a.scores == b.scores
+    # tie sets must agree
+    pairs_a = sorted(zip(a.scores, a.reference_ids))
+    for (s1, _), (s2, _) in zip(pairs_a, sorted(zip(b.scores, b.reference_ids))):
+        assert s1 == s2
+
+
+def test_streaming_long_query(rng):
+    engine = SearchEngine(
+        num_top=2, qcap=32, max_device_bytes=1024, stream_chunk_bytes=4096
+    )
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(5, 20)))
+    assert engine.streaming
+    result = engine.scan("W" * 100)
+    assert len(result.scores) == 2
