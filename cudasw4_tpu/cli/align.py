@@ -55,6 +55,7 @@ def parse_args(argv: list[str]) -> dict:
         "max_gpu_mem": None,
         "kernel_types": {},
         "dpx": False,
+        "profile": None,
     }
     i = 0
     while i < len(argv):
@@ -119,6 +120,8 @@ def parse_args(argv: list[str]) -> dict:
             opts["kernel_types"][a[2:]] = v
         elif a == "--dpx":
             opts["dpx"] = True
+        elif a == "--profile":
+            opts["profile"] = val()
         else:
             print(f"Unexpected arg {a}")
         i += 1
@@ -241,35 +244,38 @@ def run(argv=None) -> int:
         if opts["tsv"]:
             out.write(TSV_HEADER)
         if not opts["interactive"]:
+            from ..utils.profiling import device_trace
+
             query_num = 0
             engine.total_timer_start()
-            for queryfile in opts["queries"]:
-                print(f"Processing query file {queryfile}")
-                for rec in read_sequences(queryfile):
-                    print(f"Processing query {query_num} ... ", end="", flush=True)
-                    result = engine.scan(rec.sequence)
-                    if opts["verbose"]:
-                        print(
-                            f"Done. Scan time: {result.stats.seconds:.6g} s, "
-                            f"{result.stats.gcups:.6g} GCUPS"
-                        )
-                    else:
-                        print("Done.")
-                    if opts["top"] > 0:
-                        if not opts["tsv"]:
-                            out.write(
-                                f"Query {query_num}, header{rec.header}"
-                                f", length {len(rec.sequence)}"
-                                f", num overflows {result.stats.num_overflows}\n"
+            with device_trace(opts["profile"]):
+                for queryfile in opts["queries"]:
+                    print(f"Processing query file {queryfile}")
+                    for rec in read_sequences(queryfile):
+                        print(f"Processing query {query_num} ... ", end="", flush=True)
+                        result = engine.scan(rec.sequence)
+                        if opts["verbose"]:
+                            print(
+                                f"Done. Scan time: {result.stats.seconds:.6g} s, "
+                                f"{result.stats.gcups:.6g} GCUPS"
                             )
-                            print_scan_result_plain(out, result, engine)
                         else:
-                            print_scan_result_tsv(
-                                out, result, engine, query_num,
-                                len(rec.sequence), rec.header,
-                            )
-                        out.flush()
-                    query_num += 1
+                            print("Done.")
+                        if opts["top"] > 0:
+                            if not opts["tsv"]:
+                                out.write(
+                                    f"Query {query_num}, header{rec.header}"
+                                    f", length {len(rec.sequence)}"
+                                    f", num overflows {result.stats.num_overflows}\n"
+                                )
+                                print_scan_result_plain(out, result, engine)
+                            else:
+                                print_scan_result_tsv(
+                                    out, result, engine, query_num,
+                                    len(rec.sequence), rec.header,
+                                )
+                            out.flush()
+                        query_num += 1
             total = engine.total_timer_stop()
             if opts["verbose"]:
                 print(f"Total time: {total.seconds:.6g} s, {total.gcups:.6g} GCUPS")
