@@ -40,16 +40,39 @@ DEFAULT_BUCKET_EDGES = [
 MAX_SINGLE_PASS = 2048
 LONG_CHUNK = 2048
 
-#: Lanes per tile.  gridsearch autotuning on TPU v5e (2026-08) found
-#: NS=128 fastest for every bucket length (smaller tiles pipeline better
-#: through the Pallas grid than wide ones); override per deployment with
-#: the gridsearch CLI if a different generation prefers wider tiles.
+#: Lanes per tile for the row-streaming kernel.  gridsearch autotuning on
+#: TPU v5e (2026-08) found NS=128 fastest for every bucket length (smaller
+#: tiles pipeline better through the Pallas grid than wide ones); override
+#: per deployment with the gridsearch CLI.
 MIN_LANES = 128
 MAX_LANES = 1024
+
+#: Cell-sequential kernel geometry (ops/sw_pallas_cell.py): 32x128
+#: subjects per tile (the int8 VMEM tile shape), tiles stored as
+#: [T, L, 32, 128].  Only used up to CELL_MAX_L — beyond that the
+#: per-tile substitution LUT (21 x tile bytes) exceeds VMEM.
+CELL_SUBJECTS = 4096
+CELL_MAX_L = 512
+#: Measured v5e speed ratio cell/row kernel (~155 vs ~87 GCUPS); used to
+#: pick the layout that maximises *effective* throughput after padding
+#: waste (a bucket with few sequences wastes most of a 4096-subject tile).
+CELL_SPEEDUP = 1.75
 
 
 def lanes_for_length(L: int) -> int:
     return MIN_LANES
+
+
+def choose_bucket_layout(L: int, count: int) -> tuple[int, str]:
+    """Returns (NS, kernel) maximising effective GCUPS for the bucket."""
+    row_ns = lanes_for_length(L)
+    row_eff = count / (-(-count // row_ns) * row_ns)
+    if L > CELL_MAX_L:
+        return row_ns, "row"
+    cell_eff = count / (-(-count // CELL_SUBJECTS) * CELL_SUBJECTS)
+    if cell_eff * CELL_SPEEDUP > row_eff:
+        return CELL_SUBJECTS, "cell"
+    return row_ns, "row"
 
 
 def bucket_length_for(length: int, edges=None) -> int:
@@ -68,10 +91,13 @@ class PackedBucket:
     """One bucket of the packed database."""
 
     L: int  # padded subject length
-    NS: int  # lanes (subjects) per tile
-    tiles: np.ndarray  # int8 [T, L, NS], position-major
+    NS: int  # subjects per tile
+    tiles: np.ndarray  # int8, position-major: [T, L, NS] (row kernel) or
+    #                    [T, L, 32, NS//32] (cell kernel; flat subject
+    #                    index s = g*128 + lane, a pure reshape of [L, NS])
     seq_index: np.ndarray  # int32 [T, NS], global (sorted-db) id, -1 = padding
     lengths: np.ndarray  # int32 [T, NS], real lengths, 0 = padding
+    kernel: str = "row"  # "row" | "cell"
 
     @property
     def num_tiles(self) -> int:
@@ -135,8 +161,18 @@ def pack_db(
             start = stop
             continue
         L = edge
-        NS = lanes_for_length(L)
+        NS, kernel = choose_bucket_layout(L, count)
         T = -(-count // NS)
+
+        def finish(tiles, seq_index, seq_lengths):
+            if kernel == "cell":
+                tiles = tiles.reshape(T, L, 32, NS // 32)
+            buckets.append(
+                PackedBucket(
+                    L=L, NS=NS, tiles=tiles, seq_index=seq_index,
+                    lengths=seq_lengths, kernel=kernel,
+                )
+            )
 
         native = None
         if use_native:
@@ -147,13 +183,7 @@ def pack_db(
                 start, stop, L, NS,
             )
         if native is not None:
-            tiles, seq_index, seq_lengths = native
-            buckets.append(
-                PackedBucket(
-                    L=L, NS=NS, tiles=tiles, seq_index=seq_index,
-                    lengths=seq_lengths,
-                )
-            )
+            finish(*native)
             start = stop
             continue
 
@@ -189,9 +219,7 @@ def pack_db(
             slen[:cnt] = lengths[a:b]
             seq_lengths[t0:t1] = slen.reshape(nt, NS)
 
-        buckets.append(
-            PackedBucket(L=L, NS=NS, tiles=tiles, seq_index=seq_index, lengths=seq_lengths)
-        )
+        finish(tiles, seq_index, seq_lengths)
         start = stop
 
     return PackedDB(
@@ -203,10 +231,13 @@ def pack_db(
 
 def unpack_tile_sequences(bucket: PackedBucket, tile: int) -> list[np.ndarray]:
     """Inverse of packing for one tile (test helper): real sequences only."""
+    tiles = bucket.tiles[tile]
+    if tiles.ndim == 3:  # cell layout [L, 32, NS//32] -> [L, NS]
+        tiles = tiles.reshape(bucket.L, bucket.NS)
     out = []
     for s in range(bucket.NS):
         if bucket.seq_index[tile, s] < 0:
             continue
         ln = int(bucket.lengths[tile, s])
-        out.append(bucket.tiles[tile, :ln, s].copy())
+        out.append(tiles[:ln, s].copy())
     return out

@@ -46,7 +46,7 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
 from .constants import UNKNOWN, encode
 from .db.format import DBData
 from .db.packing import PackedDB, pack_db
-from .ops import sw_pallas
+from .ops import score_bucket, sw_pallas
 from .ops.sw_jax import score_tiles_jnp
 from .substitution import ScoringConfig, make_scoring_config
 
@@ -173,17 +173,9 @@ class SearchEngine:
         def scan_fn(qpad, params, bucket_tiles, valid, flat_idx, mat_flat, mat_f32):
             parts = []
             for tiles, is_long in zip(bucket_tiles, long_flags):
-                if use_pallas and not is_long:
-                    s = sw_pallas.score_bucket_pallas(tiles, qpad, mat_flat, params)
-                else:
-                    s = score_tiles_jnp(
-                        tiles,
-                        qpad,
-                        mat_f32,
-                        params[1].astype(jnp.float32),
-                        params[2].astype(jnp.float32),
-                        params[0],
-                    )
+                s = score_bucket(
+                    tiles, qpad, mat_flat, mat_f32, params, use_pallas, is_long
+                )
                 parts.append(s.reshape(-1))
             if not parts:
                 return (jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32))
@@ -310,22 +302,16 @@ class SearchEngine:
                 if t1 - t0 < ct:  # pad to the bucket's fixed chunk shape
                     pad = ct - (t1 - t0)
                     chunk = np.concatenate(
-                        [chunk, np.full((pad, b.L, b.NS), UNKNOWN, np.int8)]
+                        [chunk, np.full((pad,) + b.tiles.shape[1:], UNKNOWN, np.int8)]
                     )
                     sidx = np.concatenate(
                         [sidx, np.full((pad, b.NS), -1, np.int32)]
                     )
                 xdev = jax.device_put(chunk)
-                if use_pallas and not b.is_long:
-                    s = sw_pallas.score_bucket_pallas(
-                        xdev, qdev, self._matrix_flat, pdev
-                    )
-                else:
-                    s = score_tiles_jnp(
-                        xdev, qdev, self._matrix_f32,
-                        pdev[1].astype(jnp.float32), pdev[2].astype(jnp.float32),
-                        pdev[0],
-                    )
+                s = score_bucket(
+                    xdev, qdev, self._matrix_flat, self._matrix_f32, pdev,
+                    use_pallas, b.is_long,
+                )
                 chunk_scores.append((s, sidx))
                 drain(2)  # keep two chunks in flight
         drain(0)
@@ -373,7 +359,9 @@ class SearchEngine:
         parts = [
             np.asarray(
                 score_tiles_jnp_chunked(
-                    tiles, qdev, self._matrix_f32, gop, gex, jnp.int32(nq)
+                    tiles if tiles.ndim == 3
+                    else tiles.reshape(tiles.shape[0], tiles.shape[1], -1),
+                    qdev, self._matrix_f32, gop, gex, jnp.int32(nq),
                 )
             ).reshape(-1)
             for tiles in self._bucket_tiles

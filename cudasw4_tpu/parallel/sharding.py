@@ -27,8 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import UNKNOWN
 from ..db.packing import PackedDB
-from ..ops import sw_pallas
-from ..ops.sw_jax import score_tiles_jnp
+from ..ops import score_bucket
 
 
 def make_mesh(devices=None, axis: str = "d") -> Mesh:
@@ -74,17 +73,9 @@ def build_sharded_scan(mesh: Mesh, long_flags: tuple, use_pallas: bool, k: int):
     def body(qpad, params, tiles_tuple, idx_tuple, mat_flat, mat_f32):
         parts, idparts = [], []
         for tiles, sidx, is_long in zip(tiles_tuple, idx_tuple, long_flags):
-            if use_pallas and not is_long:
-                s = sw_pallas.score_bucket_pallas(tiles, qpad, mat_flat, params)
-            else:
-                s = score_tiles_jnp(
-                    tiles,
-                    qpad,
-                    mat_f32,
-                    params[1].astype(jnp.float32),
-                    params[2].astype(jnp.float32),
-                    params[0],
-                )
+            s = score_bucket(
+                tiles, qpad, mat_flat, mat_f32, params, use_pallas, is_long
+            )
             parts.append(s.reshape(-1))
             idparts.append(sidx.reshape(-1))
         scores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
