@@ -249,33 +249,43 @@ def run(argv=None) -> int:
             query_num = 0
             engine.total_timer_start()
             with device_trace(opts["profile"]):
-                for queryfile in opts["queries"]:
-                    print(f"Processing query file {queryfile}")
-                    for rec in read_sequences(queryfile):
-                        print(f"Processing query {query_num} ... ", end="", flush=True)
-                        result = engine.scan(rec.sequence)
-                        if opts["verbose"]:
-                            print(
-                                f"Done. Scan time: {result.stats.seconds:.6g} s, "
-                                f"{result.stats.gcups:.6g} GCUPS"
+                # Queries are dispatched a few ahead of materialisation
+                # (engine.scan_many), the analog of the reference's
+                # copy/compute stream overlap.
+                records = []
+
+                def sequences():
+                    for queryfile in opts["queries"]:
+                        print(f"Processing query file {queryfile}")
+                        for rec in read_sequences(queryfile):
+                            records.append(rec)
+                            yield rec.sequence
+
+                for result in engine.scan_many(sequences()):
+                    rec = records[query_num]
+                    print(f"Processing query {query_num} ... ", end="", flush=True)
+                    if opts["verbose"]:
+                        print(
+                            f"Done. Scan time: {result.stats.seconds:.6g} s, "
+                            f"{result.stats.gcups:.6g} GCUPS"
+                        )
+                    else:
+                        print("Done.")
+                    if opts["top"] > 0:
+                        if not opts["tsv"]:
+                            out.write(
+                                f"Query {query_num}, header{rec.header}"
+                                f", length {len(rec.sequence)}"
+                                f", num overflows {result.stats.num_overflows}\n"
                             )
+                            print_scan_result_plain(out, result, engine)
                         else:
-                            print("Done.")
-                        if opts["top"] > 0:
-                            if not opts["tsv"]:
-                                out.write(
-                                    f"Query {query_num}, header{rec.header}"
-                                    f", length {len(rec.sequence)}"
-                                    f", num overflows {result.stats.num_overflows}\n"
-                                )
-                                print_scan_result_plain(out, result, engine)
-                            else:
-                                print_scan_result_tsv(
-                                    out, result, engine, query_num,
-                                    len(rec.sequence), rec.header,
-                                )
-                            out.flush()
-                        query_num += 1
+                            print_scan_result_tsv(
+                                out, result, engine, query_num,
+                                len(rec.sequence), rec.header,
+                            )
+                        out.flush()
+                    query_num += 1
             total = engine.total_timer_stop()
             if opts["verbose"]:
                 print(f"Total time: {total.seconds:.6g} s, {total.gcups:.6g} GCUPS")

@@ -50,13 +50,20 @@ MAX_LANES = 1024
 #: Cell-sequential kernel geometry (ops/sw_pallas_cell.py): 32x128
 #: subjects per tile (the int8 VMEM tile shape), tiles stored as
 #: [T, L, 32, 128].  Only used up to CELL_MAX_L — beyond that the
-#: per-tile substitution LUT (21 x tile bytes) exceeds VMEM.
+#: per-tile substitution LUT (21 x tile bytes) exceeds VMEM and the
+#: column-chunked kernel (ops/sw_pallas_col.py, same tile layout, subject
+#: axis streamed LC columns at a time) takes over.
 CELL_SUBJECTS = 4096
 CELL_MAX_L = 512
-#: Measured v5e speed ratio cell/row kernel (~155 vs ~87 GCUPS); used to
-#: pick the layout that maximises *effective* throughput after padding
+#: Measured v5e speed ratios vs the row-streaming kernel (~155/87 for the
+#: cell kernel at L<=512; ~165/58 for the column kernel at L>=640); used
+#: to pick the layout that maximises *effective* throughput after padding
 #: waste (a bucket with few sequences wastes most of a 4096-subject tile).
 CELL_SPEEDUP = 1.75
+COL_SPEEDUP = 2.8
+#: Relative speed of the portable-XLA fallback used by row-layout buckets
+#: longer than MAX_SINGLE_PASS.
+JNP_REL_SPEED = 0.05
 
 
 def lanes_for_length(L: int) -> int:
@@ -67,11 +74,18 @@ def choose_bucket_layout(L: int, count: int) -> tuple[int, str]:
     """Returns (NS, kernel) maximising effective GCUPS for the bucket."""
     row_ns = lanes_for_length(L)
     row_eff = count / (-(-count // row_ns) * row_ns)
-    if L > CELL_MAX_L:
+    wide_eff = count / (-(-count // CELL_SUBJECTS) * CELL_SUBJECTS)
+    if L <= CELL_MAX_L:
+        if wide_eff * CELL_SPEEDUP > row_eff:
+            return CELL_SUBJECTS, "cell"
         return row_ns, "row"
-    cell_eff = count / (-(-count // CELL_SUBJECTS) * CELL_SUBJECTS)
-    if cell_eff * CELL_SPEEDUP > row_eff:
-        return CELL_SUBJECTS, "cell"
+    # Column kernel needs the subject axis to split into LC-sized chunks.
+    from ..ops.sw_pallas_col import LC
+
+    if L % LC == 0:
+        row_rel = 1.0 if L <= MAX_SINGLE_PASS else JNP_REL_SPEED
+        if wide_eff * COL_SPEEDUP > row_eff * row_rel:
+            return CELL_SUBJECTS, "col"
     return row_ns, "row"
 
 
@@ -165,7 +179,7 @@ def pack_db(
         T = -(-count // NS)
 
         def finish(tiles, seq_index, seq_lengths):
-            if kernel == "cell":
+            if kernel in ("cell", "col"):
                 tiles = tiles.reshape(T, L, 32, NS // 32)
             buckets.append(
                 PackedBucket(

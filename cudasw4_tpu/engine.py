@@ -46,7 +46,7 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
 from .constants import UNKNOWN, encode
 from .db.format import DBData
 from .db.packing import PackedDB, pack_db
-from .ops import score_bucket, sw_pallas
+from .ops import bucket_kind, score_bucket, sw_pallas, sw_pallas_cell, sw_pallas_col
 from .ops.sw_jax import score_tiles_jnp
 from .substitution import ScoringConfig, make_scoring_config
 
@@ -55,7 +55,8 @@ from .substitution import ScoringConfig, make_scoring_config
 class BenchmarkStats:
     seconds: float = 0.0
     gcups: float = 0.0
-    num_overflows: int = 0  # always 0: fp32 lanes are integer-exact
+    num_overflows: int = 0  # top-k hits that saturated int16 state and
+    #                         were re-scored exactly with int32 state
 
 
 @dataclass
@@ -92,6 +93,11 @@ class SearchEngine:
         self.max_device_bytes = max_device_bytes
         self.stream_chunk_bytes = stream_chunk_bytes
         self.streaming = False
+        # int16 DP state + overflow escalation (the reference's dpx_s16
+        # model).  Off by default: on v5e the i16<->i32 pack/unpack costs
+        # more than the halved VMEM traffic saves (measured 1.45x slower);
+        # kept as an opt-in experiment for other TPU generations.
+        self.state16 = os.environ.get("CUDASW4_TPU_STATE16", "0") == "1"
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -165,18 +171,11 @@ class SearchEngine:
         # NOTE: all database arrays are passed as jit *arguments* — closing
         # over them would bake them into the lowered module as constants
         # (multi-minute lowering and a program as large as the DB).
-        long_flags = tuple(b.is_long for b in self.packed.buckets)
+        kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
         use_pallas = self.backend == "pallas"
         k = self.results_per_query
 
-        @functools.partial(jax.jit, static_argnums=())
-        def scan_fn(qpad, params, bucket_tiles, valid, flat_idx, mat_flat, mat_f32):
-            parts = []
-            for tiles, is_long in zip(bucket_tiles, long_flags):
-                s = score_bucket(
-                    tiles, qpad, mat_flat, mat_f32, params, use_pallas, is_long
-                )
-                parts.append(s.reshape(-1))
+        def topk(parts, valid, flat_idx):
             if not parts:
                 return (jnp.zeros((0,), jnp.float32), jnp.zeros((0,), jnp.int32))
             allscores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -187,7 +186,71 @@ class SearchEngine:
             vals, idx = jax.lax.top_k(allscores, max(1, k))
             return vals, jnp.take(flat_idx, idx)
 
-        def run(qpad, params):
+        @functools.partial(jax.jit, static_argnames=("exact",))
+        def scan_fn(qpad, params, bucket_tiles, valid, flat_idx, mat_flat,
+                    mat_f32, exact=False):
+            parts = [
+                score_bucket(
+                    tiles, qpad, mat_flat, mat_f32, params, use_pallas,
+                    kind, exact=exact,
+                ).reshape(-1)
+                for tiles, kind in zip(bucket_tiles, kinds)
+            ]
+            return topk(parts, valid, flat_idx)
+
+        @functools.partial(jax.jit, static_argnames=("exact",))
+        def noncol_fn(qpad, params, tiles_tuple, mat_flat, mat_f32,
+                      exact=False):
+            return tuple(
+                score_bucket(
+                    tiles, qpad, mat_flat, mat_f32, params, use_pallas,
+                    kind, exact=exact,
+                ).reshape(-1)
+                for tiles, kind in zip(
+                    tiles_tuple, [kd for kd in kinds if kd != "col"]
+                )
+            )
+
+        @jax.jit
+        def finish_fn(parts, valid, flat_idx):
+            return topk(list(parts), valid, flat_idx)
+
+        def run(qpad, params, codes=None, exact=False):
+            nq_pad = int(params[3])
+            if (
+                use_pallas
+                and nq_pad > sw_pallas_col.NQC
+                and any(kd == "col" for kd in kinds)
+            ):
+                # Queries beyond the column kernel's row capacity: col
+                # buckets chunk the query with H/F boundary carry (the
+                # reference's multi-pass temp analog); the rest run in
+                # one jit as usual.
+                noncol_tiles = tuple(
+                    t for t, kd in zip(self._bucket_tiles, kinds)
+                    if kd != "col"
+                )
+                noncol_parts = iter(
+                    noncol_fn(
+                        qpad, params, noncol_tiles,
+                        self._matrix_flat, self._matrix_f32, exact=exact,
+                    )
+                )
+                parts = []
+                for tiles, kd in zip(self._bucket_tiles, kinds):
+                    if kd == "col":
+                        parts.append(
+                            sw_pallas_col.score_bucket_col_any_query(
+                                tiles, codes, self._matrix_flat,
+                                self.scoring.gop, self.scoring.gex,
+                                exact=exact,
+                            ).reshape(-1)
+                        )
+                    else:
+                        parts.append(next(noncol_parts))
+                return finish_fn(
+                    tuple(parts), self._valid, self._flat_idx
+                )
             return scan_fn(
                 qpad,
                 params,
@@ -196,6 +259,7 @@ class SearchEngine:
                 self._flat_idx,
                 self._matrix_flat,
                 self._matrix_f32,
+                exact=exact,
             )
 
         return run
@@ -207,13 +271,30 @@ class SearchEngine:
         ndev = len(mesh.devices.flat)
         sh.pad_tiles_for_mesh(self.packed, ndev)
         tiles, seq_idx, _ = sh.shard_bucket_arrays(self.packed, mesh)
-        long_flags = tuple(b.is_long for b in self.packed.buckets)
-        fn = sh.build_sharded_scan(
-            mesh, long_flags, self.backend == "pallas", self.results_per_query
-        )
+        kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
+        use_pallas = self.backend == "pallas"
+        k = self.results_per_query
+        fns = {}
 
-        def run(qpad, params):
-            return fn(qpad, params, tiles, seq_idx, self._matrix_flat, self._matrix_f32)
+        def run(qpad, params, codes=None, exact=False):
+            # Col buckets degrade to the portable scorer for queries
+            # beyond the column kernel's row capacity (chunked carry
+            # across shard_map is not wired up yet).
+            key = (
+                use_pallas and int(params[3]) <= sw_pallas_col.NQC,
+                exact,
+            )
+            if key not in fns:
+                kds = kinds if key[0] else tuple(
+                    "jnp" if kd == "col" else kd for kd in kinds
+                )
+                fns[key] = sh.build_sharded_scan(
+                    mesh, kds, use_pallas, k, exact=exact
+                )
+            return fns[key](
+                qpad, params, tiles, seq_idx,
+                self._matrix_flat, self._matrix_f32,
+            )
 
         return run
 
@@ -230,19 +311,42 @@ class SearchEngine:
             return self._scan_long_query(codes)
         qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
         qpad[:nq] = codes
+        nq_pad = max(4, -(-nq // 4) * 4)  # column-kernel row count (x unroll)
         params = np.array(
-            [nq, self.scoring.gop, self.scoring.gex, 0], dtype=np.int32
+            [nq, self.scoring.gop, self.scoring.gex, nq_pad], dtype=np.int32
         )
         t0 = time.perf_counter()
+        overflows = 0
         if self.streaming:
-            vals, ids = self._scan_streaming(qpad, params)
+            vals, ids = self._scan_streaming(
+                qpad, params, codes=codes, exact=not self.state16
+            )
+            if self._has_overflow(vals):
+                overflows = int((vals >= sw_pallas_cell.SAT).sum())
+                vals, ids = self._scan_streaming(
+                    qpad, params, codes=codes, exact=True
+                )
             seconds = time.perf_counter() - t0
         else:
-            vals, ids = self._scan_fn(jnp.asarray(qpad), jnp.asarray(params))
+            vals, ids = self._scan_fn(
+                qpad, params, codes=codes, exact=not self.state16
+            )
             # Materialize to host before stopping the clock: on tunneled
             # platforms block_until_ready returns before execution finishes.
             vals = np.asarray(vals)
             ids = np.asarray(ids)
+            if self._has_overflow(vals):
+                # 16-bit DP state saturated somewhere: re-scan with exact
+                # int32 state (the reference's overflow escalation,
+                # cudasw4.cuh:2117-2186 — ours re-runs the whole scan
+                # because overflows are rare and the exact path is only
+                # ~1.6x slower).
+                overflows = int((vals >= sw_pallas_cell.SAT).sum())
+                vals, ids = self._scan_fn(
+                    qpad, params, codes=codes, exact=True
+                )
+                vals = np.asarray(vals)
+                ids = np.asarray(ids)
             seconds = time.perf_counter() - t0
         k = self.results_per_query
         vals, ids = vals[:k], ids[:k]
@@ -251,13 +355,89 @@ class SearchEngine:
         stats = BenchmarkStats(
             seconds=seconds,
             gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
-            num_overflows=0,
+            num_overflows=overflows,
         )
         return ScanResult(
             scores=[int(v) for v in np.asarray(vals)],
             reference_ids=[int(i) for i in np.asarray(ids)],
             stats=stats,
         )
+
+    def _has_overflow(self, vals) -> bool:
+        return (
+            self.state16
+            and self.backend == "pallas"
+            and len(vals) > 0
+            and float(vals[0]) >= sw_pallas_cell.SAT
+        )
+
+    def scan_many(self, sequences, window: int = 3):
+        """Pipelined scans: yields one ScanResult per input sequence.
+
+        Up to ``window`` queries are dispatched ahead of materialisation so
+        host->device submission latency overlaps device compute — the XLA
+        analog of the reference's per-query stream overlap.  Falls back to
+        synchronous scans for paths that cannot be dispatched ahead
+        (streaming DBs, over-capacity queries).
+        """
+        from collections import deque
+
+        pending = deque()  # (vals_dev, ids_dev, nq, t_dispatch)
+
+        def materialize(entry):
+            vals, ids, nq, t0, qpad, params, codes = entry
+            vals = np.asarray(vals)
+            ids = np.asarray(ids)
+            overflows = 0
+            if self._has_overflow(vals):
+                overflows = int((vals >= sw_pallas_cell.SAT).sum())
+                vals, ids = self._scan_fn(
+                    qpad, params, codes=codes, exact=True
+                )
+                vals = np.asarray(vals)
+                ids = np.asarray(ids)
+            seconds = time.perf_counter() - t0
+            k = self.results_per_query
+            cells = float(nq) * float(self.packed.total_real_chars)
+            self._total_cells += cells
+            return ScanResult(
+                scores=[int(v) for v in vals[:k]],
+                reference_ids=[int(i) for i in ids[:k]],
+                stats=BenchmarkStats(
+                    seconds=seconds,
+                    gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
+                    num_overflows=overflows,
+                ),
+            )
+
+        for sequence in sequences:
+            codes = (
+                encode(sequence)
+                if isinstance(sequence, (str, bytes))
+                else np.asarray(sequence, np.int8)
+            )
+            nq = len(codes)
+            if self.streaming or nq > self.qcap:
+                while pending:
+                    yield materialize(pending.popleft())
+                yield self.scan(codes)
+                continue
+            qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
+            qpad[:nq] = codes
+            nq_pad = max(4, -(-nq // 4) * 4)
+            params = np.array(
+                [nq, self.scoring.gop, self.scoring.gex, nq_pad],
+                dtype=np.int32,
+            )
+            t0 = time.perf_counter()
+            vals, ids = self._scan_fn(
+                qpad, params, codes=codes, exact=not self.state16
+            )
+            pending.append((vals, ids, nq, t0, qpad, params, codes))
+            if len(pending) > window:
+                yield materialize(pending.popleft())
+        while pending:
+            yield materialize(pending.popleft())
 
     def _db_exceeds_device_memory(self) -> bool:
         budget = self.max_device_bytes
@@ -270,7 +450,8 @@ class SearchEngine:
         return self.packed.total_padded_chars > budget
 
     def _scan_streaming(
-        self, qpad, params, force_jnp: bool = False
+        self, qpad, params, force_jnp: bool = False, codes=None,
+        exact: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Stream DB tiles host->device chunk by chunk; up to two chunks are
         in flight so transfer of chunk i+1 overlaps compute of chunk i."""
@@ -310,7 +491,8 @@ class SearchEngine:
                 xdev = jax.device_put(chunk)
                 s = score_bucket(
                     xdev, qdev, self._matrix_flat, self._matrix_f32, pdev,
-                    use_pallas, b.is_long,
+                    use_pallas, bucket_kind(b, nq_pad=int(params[3])),
+                    exact=exact,
                 )
                 chunk_scores.append((s, sidx))
                 drain(2)  # keep two chunks in flight

@@ -48,6 +48,12 @@ from ..constants import ALPHABET_SIZE, UNKNOWN
 
 NEG = -(1 << 24)  # -inf stand-in; safe from int32 underflow across adds
 
+#: int16-state saturation ceiling.  Scores below SAT are exact in the
+#: default (int16-state) kernels; a score >= SAT flags 16-bit overflow
+#: and triggers an exact int32-state re-scan (the reference's
+#: MAX_ACC_SHORT escalation, /root/reference/src/kernels.cuh:5).
+SAT = 32000
+
 #: Subject-group sublanes x lanes per slab: the int8 VMEM tile shape.
 G = 32
 NSL = 128
@@ -57,61 +63,85 @@ SUBJECTS_PER_TILE = G * NSL
 QCAP = 8192
 
 
-def _sw_cell_kernel(
-    params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
-    *, L, U, G, NSL, dtype=jnp.int32, neg=NEG
-):
-    """One grid step = one tile of G*NSL subjects, full query sweep."""
-    nq = params_ref[0]
-    gop = params_ref[1].astype(dtype)
-    gex = params_ref[2].astype(dtype)
+def build_sub_lut(x_ref, b_ref, lut_ref, shape, rows: int = 8):
+    """Fill lut_ref[t] = B[t, x] for all t (the per-tile substitution LUT,
+    the TPU stand-in for the reference's shared-memory pairwise BLOSUM
+    cache, /root/reference/src/half2_kernels.cuh:57-65).
 
-    x = x_ref[0]  # [L, G, NSL] int8
+    Arithmetic select (not jnp.where: SMEM-scalar where miscompiles on
+    some Mosaic versions).  Two structural constraints drive the shape of
+    this code: (a) the 21 plane builds run in a fori_loop, not unrolled —
+    unrolled they put >100 MB of live i32 temporaries on the VMEM stack;
+    (b) each plane is built in ``rows``-row chunks so the select chain's
+    temporaries fit in vector registers — full-plane chains materialise
+    every intermediate through VMEM and make the build memory-bound
+    (~1.4 ms/tile measured at [512,32,128], ~15x cheaper chunked).
+    """
+    L = shape[0]
+    tail = shape[1:]
+    nchunks = L // rows
+    assert L % rows == 0, (L, rows)
 
-    # --- Per-tile substitution LUT: lut[t][j] = B[t, x[j]]. ---
-    # Arithmetic select (not jnp.where: SMEM-scalar where miscompiles on
-    # some Mosaic versions).  The t loop is a fori_loop, not unrolled:
-    # 21 unrolled plane builds put >100 MB of live [L,G,NSL] i32
-    # temporaries on the VMEM stack.
-    def build_plane(t, _):
-        xi = x.astype(jnp.int32)
+    def build_chunk(i, _):
+        t = i // nchunks
+        lc = (i % nchunks) * rows
+        xi = x_ref[0, pl.ds(lc, rows)].astype(jnp.int32)
         base = b_ref[t * ALPHABET_SIZE + UNKNOWN]
-        row = jnp.full((L, G, NSL), base, jnp.int32)
+        row = jnp.full((rows,) + tail, base, jnp.int32)
         for u in range(UNKNOWN):
             row = row + (xi == u).astype(jnp.int32) * (
                 b_ref[t * ALPHABET_SIZE + u] - base
             )
-        lut_ref[t] = row.astype(jnp.int8)
+        lut_ref[t, pl.ds(lc, rows)] = row.astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, ALPHABET_SIZE, build_plane, 0)
+    jax.lax.fori_loop(0, ALPHABET_SIZE * nchunks, build_chunk, 0)
 
-    h_ref[...] = jnp.zeros((L, G, NSL), dtype)
-    f_ref[...] = jnp.full((L, G, NSL), neg, dtype)
+
+def _sw_cell_kernel(
+    params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
+    *, L, U, G, NSL, state_dtype=jnp.int16
+):
+    """One grid step = one tile of G*NSL subjects, full query sweep."""
+    nq = params_ref[0]
+    gop = params_ref[1]
+    gex = params_ref[2]
+    narrow = state_dtype != jnp.int32
+    sat = jnp.int32(SAT) if narrow else None
+
+    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
 
     # Loop-carry initialisers must have a concrete (non-replicated) vector
     # layout or Mosaic rejects the loop phi ("Invalid relayout: ... is
-    # replicated in destination but not in source"); loading the zeros just
-    # written to h_ref yields one, where a jnp.zeros splat would not.
-    zero = h_ref[0]  # [G, NSL] zeros
-    negv = zero + jnp.asarray(neg, dtype)
+    # replicated in destination but not in source"); deriving them from a
+    # VMEM load yields one, where a jnp.zeros splat would not.  (int
+    # garbage * 0 == 0, so reading uninitialised scratch is safe here.)
+    zero = h_ref[0].astype(jnp.int32) * 0  # [G, NSL] zeros
+    negv = zero + NEG
     nsteps = L // U
 
-    def row_step(i, m):
-        qi = q_ref[i]
-
+    def make_col_step(qi, first):
+        # ``first`` (query row 0) reads no H/F state — the virtual row
+        # above is H=0 / F=-inf — which also means the state arrays never
+        # need a bulk init (a measured ~1.3 ms/tile of splat stores at
+        # L=512 that dwarfed the DP itself for short queries).
         def col_step(jj, carry):
             hdiag, hleft, ecarry, m = carry
             j0 = jj * U
-            hup_s = h_ref[pl.ds(j0, U)]  # [U, G, NSL] = H[i-1, j0:j0+U]
-            fup_s = f_ref[pl.ds(j0, U)]
-            sub_s = lut_ref[qi, pl.ds(j0, U)].astype(dtype)
+            if not first:
+                # H[i-1, j0:j0+U] / F[i-1, j0:j0+U]; arithmetic is int32,
+                # state rides int16 (halves the VMEM port traffic the DP
+                # loop is bound by — the reference's dpx_s16 idea applied
+                # to memory, not ALUs; Mosaic has no 2x-rate int16 ALU).
+                hup_s = h_ref[pl.ds(j0, U)].astype(jnp.int32)
+                fup_s = f_ref[pl.ds(j0, U)].astype(jnp.int32)
+            sub_s = lut_ref[qi, pl.ds(j0, U)].astype(jnp.int32)
             hnew = []
             fnew = []
             for u in range(U):
-                hup = hup_s[u]
+                hup = zero if first else hup_s[u]
                 e = jnp.maximum(ecarry + gex, hleft + gop)
-                f = jnp.maximum(fup_s[u] + gex, hup + gop)
+                f = jnp.maximum((negv if first else fup_s[u]) + gex, hup + gop)
                 h = jnp.maximum(hdiag + sub_s[u], jnp.maximum(e, f))
                 h = jnp.maximum(h, 0)
                 m = jnp.maximum(m, h)
@@ -120,20 +150,40 @@ def _sw_cell_kernel(
                 hdiag = hup
                 hleft = h
                 ecarry = e
-            h_ref[pl.ds(j0, U)] = jnp.stack(hnew)
-            f_ref[pl.ds(j0, U)] = jnp.stack(fnew)
+            hs = jnp.stack(hnew)
+            # Saturate H at SAT before narrowing: if any true H reaches
+            # SAT then m >= SAT (m tracks the exact int32 pre-clamp
+            # value), which flags the tile for an exact int32 re-scan —
+            # the reference's 16-bit overflow escalation
+            # (/root/reference/src/kernels.cuh:5, MAX_ACC_SHORT).
+            # F never needs clamping: H >= 0 and gop < 0 give
+            # gop <= F <= SAT + gop < SAT by induction.
+            if narrow:
+                hs = jnp.minimum(hs, sat)
+            h_ref[pl.ds(j0, U)] = hs.astype(state_dtype)
+            f_ref[pl.ds(j0, U)] = jnp.stack(fnew).astype(state_dtype)
             return (hdiag, hleft, ecarry, m)
 
+        return col_step
+
+    def row_step(i, m):
         _, _, _, m = jax.lax.fori_loop(
-            0, nsteps, col_step, (zero, zero, negv, m)
+            0, nsteps, make_col_step(q_ref[i], False), (zero, zero, negv, m)
         )
         return m
 
-    m = jax.lax.fori_loop(0, nq, row_step, zero)
+    # Row 0 runs unconditionally; if nq == 0 its padded UNKNOWN letters
+    # cannot produce a positive score (B[UNKNOWN][.] < 0), so m stays 0.
+    _, _, _, m = jax.lax.fori_loop(
+        0, nsteps, make_col_step(q_ref[0], True), (zero, zero, negv, zero)
+    )
+    m = jax.lax.fori_loop(1, nq, row_step, m)
     out_ref[0] = m.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "unroll", "exact")
+)
 def score_bucket_pallas_cell(
     tiles: jax.Array,  # int8 [T, L, G, NSL]
     query: jax.Array,  # int32 [QCAP]
@@ -141,13 +191,20 @@ def score_bucket_pallas_cell(
     params: jax.Array,  # int32 [4]: nq, gop, gex, reserved
     interpret: bool = False,
     unroll: int = 4,
-    dtype=jnp.int32,
+    exact: bool = False,
 ) -> jax.Array:
-    """Scores f32 [T, g*nsl]; one pallas_call, grid over tiles."""
+    """Scores f32 [T, g*nsl]; one pallas_call, grid over tiles.
+
+    Default mode stores DP state as saturating int16: scores < SAT are
+    exact; a returned score >= SAT means 16-bit overflow — re-scan with
+    ``exact=True`` (full int32 state) for those, mirroring the
+    reference's s16 fast path + s32 overflow pass.
+    """
     T, L, g, nsl = tiles.shape
     assert g % G == 0 and nsl % NSL == 0, (g, nsl)
     assert L % unroll == 0, (L, unroll)
-    neg = NEG if dtype == jnp.int32 else -(1 << 13)
+    state_dtype = jnp.int32 if exact else jnp.int16
+    state_bytes = 4 if exact else 2
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -158,18 +215,22 @@ def score_bucket_pallas_cell(
         out_specs=pl.BlockSpec((1, g, nsl), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((ALPHABET_SIZE, L, g, nsl), jnp.int8),
-            pltpu.VMEM((L, g, nsl), dtype),
-            pltpu.VMEM((L, g, nsl), dtype),
+            pltpu.VMEM((L, g, nsl), state_dtype),
+            pltpu.VMEM((L, g, nsl), state_dtype),
         ],
     )
 
     kernel = functools.partial(
-        _sw_cell_kernel, L=L, U=unroll, G=g, NSL=nsl, dtype=dtype, neg=neg
+        _sw_cell_kernel, L=L, U=unroll, G=g, NSL=nsl, state_dtype=state_dtype
     )
     elems = L * g * nsl
-    # LUT (i8) + X (i8, double-buffered input) + 2 state arrays (i32) +
+    # LUT (i8) + X (i8, double-buffered input) + 2 state arrays +
     # headroom for the LUT build's temporaries (bounded by the fori_loop).
-    vmem_bytes = elems * (ALPHABET_SIZE + 2) + 2 * elems * 4 + 4 * elems * 4
+    vmem_bytes = (
+        elems * (ALPHABET_SIZE + 2)
+        + 2 * elems * state_bytes
+        + 4 * elems * 4
+    )
     vmem_bytes = min(max(int(vmem_bytes), 32 << 20), 100 << 20)
     out = pl.pallas_call(
         kernel,

@@ -1,0 +1,314 @@
+"""Column-chunked Pallas TPU kernel: cell-sequential SW for long subjects.
+
+Companion to ops/sw_pallas_cell.py for buckets whose padded length exceeds
+CELL_MAX_L (the cell kernel's per-tile LUT is 21x the tile bytes, so its
+VMEM budget caps L).  Same scan-free cell-sequential recurrence and the
+same [*, 32, 128]-subject slab layout, but the loop nest is transposed:
+
+* The grid is (tiles, subject-chunks): subject position j streams through
+  the kernel LC columns at a time, so subjects of ANY length fit — the
+  tile block, its substitution LUT and the DP state are all O(LC), not
+  O(L).  DP state persists in VMEM scratch across the chunk axis
+  (sequential TPU grid), exactly like the reference's multi-pass kernels
+  carry H/E columns between passes
+  (/root/reference/src/half2_kernels.cuh:316-468).
+* State is per *query row*: Hcol/Ecol [NQC, 32, 128] hold H[i][j-1] and
+  E[i][j-1] for every query row i; F and the H diagonal ride in registers
+  along the inner i loop.  NQC caps the query rows per invocation.
+* Queries longer than NQC are processed in chunks of NQC rows by the
+  caller, carrying the bottom-row H/F boundary (one [T, L, 32, 128] i32
+  pair per call) through HBM between calls — the analog of the
+  reference's 4 GiB global-memory temp (cudasw4.cuh:1928-1947).  The
+  ``take_init``/``emit_state`` static flags select the chunk-boundary
+  variants; per-call scores combine by max, since every DP cell belongs
+  to exactly one (query-chunk, subject-chunk) call.
+
+The caller must pad the query-chunk row count to a multiple of the unroll
+factor with UNKNOWN letters; B[UNKNOWN][.] < 0 for every shipped matrix,
+so padded rows can never raise any column's running maximum (checked in
+substitution.py tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import ALPHABET_SIZE
+from .sw_pallas_cell import G, NSL, NEG, SAT, build_sub_lut
+
+#: int16-state stand-in for -inf (E's virtual column init); E >= gop from
+#: the first computed column, so any value < gop works.
+NEG16 = -20000
+
+#: Subject positions per grid step (all long-bucket lengths are multiples).
+LC = 128
+
+#: Query rows per invocation (state = 2 * NQC * 4096 * 4B = 32 MB VMEM).
+NQC = 1024
+
+
+def _sw_col_kernel(refs, *, LCk, U, take_init, emit_state,
+                   state_dtype=jnp.int16):
+    if take_init and emit_state:
+        (params_ref, q_ref, b_ref, x_ref, hin_ref, fin_ref,
+         out_ref, hout_ref, fout_ref,
+         lut_ref, hcol_ref, ecol_ref, m_ref, dcarry_ref) = refs
+    elif take_init:
+        (params_ref, q_ref, b_ref, x_ref, hin_ref, fin_ref,
+         out_ref, lut_ref, hcol_ref, ecol_ref, m_ref, dcarry_ref) = refs
+    elif emit_state:
+        (params_ref, q_ref, b_ref, x_ref,
+         out_ref, hout_ref, fout_ref,
+         lut_ref, hcol_ref, ecol_ref, m_ref, dcarry_ref) = refs
+    else:
+        (params_ref, q_ref, b_ref, x_ref,
+         out_ref, lut_ref, hcol_ref, ecol_ref, m_ref, dcarry_ref) = refs
+
+    nqp = params_ref[0]  # query rows this chunk, multiple of U
+    gop = params_ref[1]
+    gex = params_ref[2]
+    c = pl.program_id(1)
+
+    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL))
+
+    narrow = state_dtype != jnp.int32
+    sat = jnp.int32(SAT)
+
+    # Concrete-layout constants (see the sw_pallas_cell phi-layout note;
+    # int garbage * 0 == 0, so reading uninitialised scratch is safe).
+    zero = m_ref[...] * 0
+    negv = zero + NEG
+    negs = zero + (NEG16 if narrow else NEG)
+    nsteps = nqp // U
+
+    @pl.when(c == 0)
+    def _():
+        m_ref[...] = zero
+        # H[i0-1][-1] = 0: the virtual column left of the subject is all
+        # zeros for any query row (local alignment).
+        dcarry_ref[...] = zero
+        # Init the i-state in register-sized chunks: whole-array splat
+        # stores are lowered through an HBM-materialised constant and cost
+        # milliseconds per tile; chunked stores run at VMEM speed.  Only
+        # rows [0, nqp) are ever read back, but nqp is dynamic, so fill
+        # the full NQC extent.
+        def izero(i, _):
+            hcol_ref[pl.ds(i * U, U)] = jnp.stack(
+                [zero.astype(state_dtype)] * U
+            )
+            ecol_ref[pl.ds(i * U, U)] = jnp.stack(
+                [negs.astype(state_dtype)] * U
+            )
+            return 0
+
+        jax.lax.fori_loop(0, NQC // U, izero, 0)
+
+    m0 = m_ref[...]
+
+    def col_step(j, carry):
+        # prev_hinit = H[i0-1][j-1], i.e. the hprev-init of column j-1.
+        prev_hinit, m = carry
+        if take_init:
+            hinit = hin_ref[0, j]  # H[i0-1][j]
+            finit = fin_ref[0, j]  # F[i0-1][j]
+        else:
+            hinit = zero
+            finit = negv
+
+        def row_step(ii, icarry):
+            hdiag, hprev, freg, m = icarry
+            i0 = ii * U
+            # int32 arithmetic on int16-resident state (see the cell
+            # kernel: the DP loop is VMEM-port-bound, int16 halves it).
+            hc_s = hcol_ref[pl.ds(i0, U)].astype(jnp.int32)  # H[i0+u][j-1]
+            ec_s = ecol_ref[pl.ds(i0, U)].astype(jnp.int32)  # E[i0+u][j-1]
+            hnew = []
+            enew = []
+            for u in range(U):
+                qi = q_ref[i0 + u]
+                sub = lut_ref[qi, j].astype(jnp.int32)
+                hc = hc_s[u]
+                e = jnp.maximum(ec_s[u] + gex, hc + gop)
+                f = jnp.maximum(freg + gex, hprev + gop)
+                h = jnp.maximum(hdiag + sub, jnp.maximum(e, f))
+                h = jnp.maximum(h, 0)
+                m = jnp.maximum(m, h)
+                hnew.append(h)
+                enew.append(e)
+                hdiag = hc
+                hprev = h
+                freg = f
+            hs = jnp.stack(hnew)
+            if narrow:
+                # Saturate before narrowing; m >= SAT flags the overflow
+                # (see sw_pallas_cell).  E needs no clamp: gop <= E < SAT.
+                hs = jnp.minimum(hs, sat)
+            hcol_ref[pl.ds(i0, U)] = hs.astype(state_dtype)
+            ecol_ref[pl.ds(i0, U)] = jnp.stack(enew).astype(state_dtype)
+            return (hdiag, hprev, freg, m)
+
+        hlast, hbot, fbot, m = jax.lax.fori_loop(
+            0, nsteps, row_step, (prev_hinit, hinit, finit, m)
+        )
+        del hlast
+        if emit_state:
+            hout_ref[0, j] = hbot  # H[i0+nqp-1][j]
+            fout_ref[0, j] = fbot
+        return (hinit, m)
+
+    prev_hinit, m = jax.lax.fori_loop(
+        0, LCk, col_step, (dcarry_ref[...], m0)
+    )
+    dcarry_ref[...] = prev_hinit
+    m_ref[...] = m
+    out_ref[0] = m.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "take_init", "emit_state", "interpret", "unroll", "exact"
+    ),
+)
+def score_bucket_pallas_col(
+    tiles: jax.Array,  # int8 [T, L, G, NSL], L % LC == 0
+    query: jax.Array,  # int32 [NQC] chunk of the query (UNKNOWN-padded)
+    matrix_flat: jax.Array,  # int32 [441]
+    params: jax.Array,  # int32 [4]: nq_pad (multiple of unroll), gop, gex, 0
+    state_in=None,  # (hrow, frow) int32 [T, L, G, NSL] from the prior chunk
+    take_init: bool = False,
+    emit_state: bool = False,
+    interpret: bool = False,
+    unroll: int = 4,
+    exact: bool = False,
+):
+    """Scores f32 [T, G*NSL] = per-subject max over this query chunk's rows.
+
+    With ``emit_state`` also returns (hrow, frow) int32 [T, L, G, NSL]: the
+    bottom query row's H/F per subject position, the boundary input for the
+    next query chunk.  Default mode stores DP state as saturating int16;
+    a score >= SAT flags 16-bit overflow — re-run with ``exact=True``.
+    """
+    T, L, g, nsl = tiles.shape
+    assert (g, nsl) == (G, NSL), (g, nsl)
+    assert L % LC == 0, L
+    assert take_init == (state_in is not None)
+    C = L // LC
+    state_dtype = jnp.int32 if exact else jnp.int16
+
+    in_specs = [pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0))]
+    inputs = [tiles]
+    if take_init:
+        in_specs += [
+            pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0)),
+            pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0)),
+        ]
+        inputs += [state_in[0], state_in[1]]
+
+    out_specs = [pl.BlockSpec((1, g, nsl), lambda t, c, *_: (t, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((T, g, nsl), jnp.float32)]
+    if emit_state:
+        out_specs += [
+            pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0)),
+            pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, L, g, nsl), jnp.int32),
+            jax.ShapeDtypeStruct((T, L, g, nsl), jnp.int32),
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T, C),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((ALPHABET_SIZE, LC, g, nsl), jnp.int8),
+            pltpu.VMEM((NQC, g, nsl), state_dtype),
+            pltpu.VMEM((NQC, g, nsl), state_dtype),
+            pltpu.VMEM((g, nsl), jnp.int32),
+            pltpu.VMEM((g, nsl), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _sw_col_kernel_entry, LCk=LC, U=unroll,
+        take_init=take_init, emit_state=emit_state, state_dtype=state_dtype,
+    )
+    chunk = LC * g * nsl
+    state = NQC * g * nsl * 4 * 2
+    io = chunk * (2 + 4 * (2 * int(take_init) + 2 * int(emit_state)))
+    vmem_bytes = chunk * ALPHABET_SIZE + state + io + 8 * chunk * 4
+    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), 100 << 20)
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(params, query, matrix_flat, *inputs)
+    scores = res[0].reshape(T, g * nsl)
+    if emit_state:
+        return scores, (res[1], res[2])
+    return scores
+
+
+def _sw_col_kernel_entry(*refs, LCk, U, take_init, emit_state, state_dtype):
+    _sw_col_kernel(refs, LCk=LCk, U=U, take_init=take_init,
+                   emit_state=emit_state, state_dtype=state_dtype)
+
+
+def pad_query_chunk(codes, unroll: int = 4):
+    """Pad one query chunk to a multiple of ``unroll`` (and at least 1
+    slab), returning (qpad [NQC] int32, nq_pad)."""
+    import numpy as np
+
+    from ..constants import UNKNOWN
+
+    nq = len(codes)
+    assert nq <= NQC, (nq, NQC)
+    nq_pad = max(unroll, -(-nq // unroll) * unroll)
+    out = np.full(NQC, UNKNOWN, dtype=np.int32)
+    out[:nq] = codes
+    return out, nq_pad
+
+
+def score_bucket_col_any_query(
+    tiles, codes, matrix_flat, gop: int, gex: int, unroll: int = 4,
+    interpret: bool = False, exact: bool = False,
+):
+    """Score a col-layout bucket against a query of any length by chunking
+    the query into NQC-row passes with H/F boundary carry through HBM.
+
+    ``codes``: encoded query (numpy int8/int32, host).  Returns f32
+    [T, G*NSL] scores (device array).
+    """
+    import numpy as np
+
+    n = len(codes)
+    chunks = [codes[s : s + NQC] for s in range(0, n, NQC)] or [codes]
+    best = None
+    state = None
+    for k, chunk in enumerate(chunks):
+        qpad, nq_pad = pad_query_chunk(chunk, unroll)
+        params = jnp.asarray(
+            np.array([nq_pad, gop, gex, 0], dtype=np.int32)
+        )
+        emit = k + 1 < len(chunks)
+        res = score_bucket_pallas_col(
+            tiles, jnp.asarray(qpad), matrix_flat, params,
+            state_in=state, take_init=state is not None,
+            emit_state=emit, interpret=interpret, unroll=unroll,
+            exact=exact,
+        )
+        if emit:
+            scores, state = res
+        else:
+            scores, state = res, None
+        best = scores if best is None else jnp.maximum(best, scores)
+    return best

@@ -65,16 +65,19 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh):
     return tiles, seq_idx, rep
 
 
-def build_sharded_scan(mesh: Mesh, long_flags: tuple, use_pallas: bool, k: int):
+def build_sharded_scan(
+    mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, exact: bool = False
+):
     """Returns jitted (qpad, params, tiles_tuple, idx_tuple, mat_flat,
     mat_f32) -> (scores [k], reference_ids [k]) replicated."""
     axis = mesh.axis_names[0]
 
     def body(qpad, params, tiles_tuple, idx_tuple, mat_flat, mat_f32):
         parts, idparts = [], []
-        for tiles, sidx, is_long in zip(tiles_tuple, idx_tuple, long_flags):
+        for tiles, sidx, kind in zip(tiles_tuple, idx_tuple, kinds):
             s = score_bucket(
-                tiles, qpad, mat_flat, mat_f32, params, use_pallas, is_long
+                tiles, qpad, mat_flat, mat_f32, params, use_pallas, kind,
+                exact=exact,
             )
             parts.append(s.reshape(-1))
             idparts.append(sidx.reshape(-1))

@@ -176,4 +176,8 @@ def test_pack_long_sequences():
     long_buckets = [b for b in packed.buckets if b.is_long]
     assert len(long_buckets) == 2
     b = [x for x in packed.buckets if x.L == 4096][0]
-    assert np.array_equal(b.tiles[0, :3000, 0], db.get_sequence(1))
+    from cudasw4_tpu.db.packing import unpack_tile_sequences
+
+    seqs = unpack_tile_sequences(b, 0)
+    assert len(seqs) == 1
+    assert np.array_equal(seqs[0], db.get_sequence(1))

@@ -1,0 +1,94 @@
+"""Column-chunked Pallas kernel correctness (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudasw4_tpu import make_scoring_config
+from cudasw4_tpu.ops.oracle import sw_score_scalar
+from cudasw4_tpu.ops import sw_pallas_col
+from cudasw4_tpu.ops.sw_pallas_cell import G, NSL
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def _tiles_from(subjects, L, T):
+    tiles = np.full((T, L, G, NSL), 20, dtype=np.int8)
+    for k, s in enumerate(subjects):
+        t, r = divmod(k, G * NSL)
+        g, lane = divmod(r, NSL)
+        tiles[t, : len(s), g, lane] = s
+    return jnp.asarray(tiles)
+
+
+def _oracle(query, subjects, cfg):
+    return [
+        sw_score_scalar(query, s, cfg.matrix, cfg.gop, cfg.gex)
+        for s in subjects
+    ]
+
+
+def test_col_kernel_single_chunk_matches_oracle(rng, monkeypatch):
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    cfg = make_scoring_config("blosum62")
+    L = 48  # 3 subject chunks
+    n = 30
+    subjects = [rng.integers(0, 20, size=int(rng.integers(5, L))) for _ in range(n)]
+    query = rng.integers(0, 20, size=33)
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    got = sw_pallas_col.score_bucket_col_any_query(
+        _tiles_from(subjects, L, 1), query, mat, cfg.gop, cfg.gex,
+        interpret=not ON_TPU,
+    )
+    got = np.asarray(got).reshape(-1)[:n]
+    assert [int(v) for v in got] == _oracle(query, subjects, cfg)
+
+
+def test_col_kernel_query_chunked_matches_oracle(rng, monkeypatch):
+    """Queries longer than NQC: boundary H/F carry between calls."""
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    monkeypatch.setattr(sw_pallas_col, "NQC", 24)
+    cfg = make_scoring_config("blosum62")
+    L = 32
+    n = 12
+    subjects = [rng.integers(0, 20, size=int(rng.integers(8, L))) for _ in range(n)]
+    query = rng.integers(0, 20, size=70)  # 3 chunks of 24 (last partial)
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    got = sw_pallas_col.score_bucket_col_any_query(
+        _tiles_from(subjects, L, 1), query, mat, cfg.gop, cfg.gex,
+        interpret=not ON_TPU,
+    )
+    got = np.asarray(got).reshape(-1)[:n]
+    assert [int(v) for v in got] == _oracle(query, subjects, cfg)
+
+
+def test_col_kernel_multi_tile(rng, monkeypatch):
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    cfg = make_scoring_config("blosum62")
+    L = 16
+    n = G * NSL + 5
+    subjects = [rng.integers(0, 20, size=int(rng.integers(3, L))) for _ in range(n)]
+    query = rng.integers(0, 20, size=12)
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    got = sw_pallas_col.score_bucket_col_any_query(
+        _tiles_from(subjects, L, 2), query, mat, cfg.gop, cfg.gex,
+        interpret=not ON_TPU,
+    )
+    got = np.asarray(got).reshape(-1)[:n]
+    assert [int(v) for v in got] == _oracle(query, subjects, cfg)
+
+
+def test_col_kernel_gap_regression(monkeypatch):
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    cfg = make_scoring_config("blosum62")
+    subject = np.array([7, 18, 2, 2, 8, 11, 12, 17, 7, 18, 14, 11, 4, 14, 2,
+                        1, 14, 4, 13, 11, 8, 9, 2, 6])
+    query = np.array([2, 8, 11, 8, 0, 11, 15, 13, 12, 18, 2, 11, 13, 18, 19,
+                      8, 0, 15, 17, 19, 14, 1, 19, 14, 19])
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    got = sw_pallas_col.score_bucket_col_any_query(
+        _tiles_from([subject], 32, 1), query, mat, cfg.gop, cfg.gex,
+        interpret=not ON_TPU,
+    )
+    assert int(np.asarray(got).reshape(-1)[0]) == 20
