@@ -106,6 +106,7 @@ class SearchEngine:
         self.db: DBData | None = None
         self.packed: PackedDB | None = None
         self._scan_fn = None
+        self._batch_scan_fn = None
         self._total_t0 = None
         self._total_cells = 0.0
 
@@ -114,6 +115,7 @@ class SearchEngine:
     def set_database(self, db: DBData) -> None:
         t0 = time.perf_counter()
         self.db = db
+        self._batch_scan_fn = None
         self.packed = pack_db(db, edges=self.bucket_edges)
         self._matrix_flat = jnp.asarray(
             self.scoring.matrix.astype(np.int32).reshape(-1)
@@ -371,6 +373,138 @@ class SearchEngine:
             and float(vals[0]) >= sw_pallas_cell.SAT
         )
 
+    # ----------------------------------------------------------- batching
+
+    #: Queries per batched scan pass (short queries only).  One tile pass
+    #: serves the whole batch: the DB block streams from HBM once and the
+    #: substitution LUT is built once per tile for all QB_MAX queries,
+    #: amortising the per-tile fixed costs that dominate short-query scans.
+    QB_MAX = 16
+
+    def _can_batch(self) -> bool:
+        return (
+            self.backend == "pallas"
+            and not self.streaming
+            and (self.mesh is None or len(self.mesh.devices.flat) <= 1)
+            and self.packed is not None
+        )
+
+    def _build_batch_scan_fn(self):
+        kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
+        use_pallas = self.backend == "pallas"
+        k = self.results_per_query
+        QB = self.QB_MAX
+
+        @jax.jit
+        def batch_fn(queries, qpad_full, params, bucket_tiles, valid,
+                     flat_idx, mat_flat, mat_f32):
+            per_qb = [[] for _ in range(QB)]
+            for tiles, kind in zip(bucket_tiles, kinds):
+                if use_pallas and kind == "cell":
+                    s = sw_pallas_cell.score_bucket_pallas_cell_batch(
+                        tiles, queries, mat_flat, params
+                    )
+                    for qb in range(QB):
+                        per_qb[qb].append(s[qb].reshape(-1))
+                else:
+                    for qb in range(QB):
+                        pq = jnp.stack([
+                            params[4 + qb], params[1], params[2],
+                            params[4 + QB + qb],
+                        ])
+                        s = score_bucket(
+                            tiles, qpad_full[qb], mat_flat, mat_f32, pq,
+                            use_pallas, kind, exact=True,
+                        )
+                        per_qb[qb].append(s.reshape(-1))
+            rows = jnp.stack([
+                jnp.concatenate(p) if len(p) > 1 else p[0] for p in per_qb
+            ])
+            rows = jnp.where(valid[None, :], rows, -1.0)
+            vals, idx = jax.lax.top_k(rows, max(1, k))
+            return vals, jnp.take(flat_idx, idx)
+
+        def run(queries, qpad_full, params):
+            return batch_fn(
+                queries, qpad_full, params,
+                tuple(self._bucket_tiles), self._valid, self._flat_idx,
+                self._matrix_flat, self._matrix_f32,
+            )
+
+        return run
+
+    def _dispatch_batch(self, group):
+        """Dispatch up to QB_MAX short queries; returns device handles."""
+        if getattr(self, "_batch_scan_fn", None) is None:
+            self._batch_scan_fn = self._build_batch_scan_fn()
+        QB = self.QB_MAX
+        qcap_b = sw_pallas_cell.QCAP_BATCH
+        queries = np.full((QB, qcap_b), UNKNOWN, dtype=np.int32)
+        qpad_full = np.full((QB, self.qcap), UNKNOWN, dtype=np.int32)
+        nqs = np.zeros(QB, np.int32)
+        pads = np.full(QB, 4, np.int32)
+        for i, c in enumerate(group):
+            queries[i, : len(c)] = c
+            qpad_full[i, : len(c)] = c
+            nqs[i] = len(c)
+            pads[i] = max(4, -(-len(c) // 4) * 4)
+        params = np.concatenate(
+            [
+                np.array(
+                    [0, self.scoring.gop, self.scoring.gex, 0], np.int32
+                ),
+                nqs,
+                pads,
+            ]
+        )
+        return self._batch_scan_fn(queries, qpad_full, params)
+
+    def _materialize_batch(self, vals, ids, group, t0):
+        """Turn one batch dispatch into per-query ScanResults (in order).
+
+        Per-query seconds are the batch wall time split proportionally to
+        each query's cell count (individual queries are not separately
+        observable inside one fused pass)."""
+        vals = np.asarray(vals)
+        ids = np.asarray(ids)
+        seconds = time.perf_counter() - t0
+        k = self.results_per_query
+        db_chars = float(self.packed.total_real_chars)
+        total_cells = sum(len(c) for c in group) * db_chars
+        out = []
+        for i, c in enumerate(group):
+            cells = float(len(c)) * db_chars
+            self._total_cells += cells
+            q_seconds = (
+                seconds * cells / total_cells if total_cells else seconds
+            )
+            out.append(
+                ScanResult(
+                    scores=[int(v) for v in vals[i, :k]],
+                    reference_ids=[int(r) for r in ids[i, :k]],
+                    stats=BenchmarkStats(
+                        seconds=q_seconds,
+                        gcups=(
+                            cells / 1e9 / q_seconds if q_seconds > 0 else 0.0
+                        ),
+                    ),
+                )
+            )
+        return out
+
+    def scan_batch(self, sequences) -> list[ScanResult]:
+        """Scan up to QB_MAX queries of length <= QCAP_BATCH in one fused
+        pass (synchronous); returns results in input order."""
+        group = [
+            encode(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.int8)
+            for s in sequences
+        ]
+        assert len(group) <= self.QB_MAX
+        assert all(len(c) <= sw_pallas_cell.QCAP_BATCH for c in group)
+        t0 = time.perf_counter()
+        vals, ids = self._dispatch_batch(group)
+        return self._materialize_batch(vals, ids, group, t0)
+
     def scan_many(self, sequences, window: int = 3):
         """Pipelined scans: yields one ScanResult per input sequence.
 
@@ -382,10 +516,15 @@ class SearchEngine:
         """
         from collections import deque
 
-        pending = deque()  # (vals_dev, ids_dev, nq, t_dispatch)
+        pending = deque()  # ("single"|"batch", payload...)
+        batching = self._can_batch() and not self.state16
+        shortbuf: list = []
 
         def materialize(entry):
-            vals, ids, nq, t0, qpad, params, codes = entry
+            if entry[0] == "batch":
+                _, vals, ids, group, t0 = entry
+                return self._materialize_batch(vals, ids, group, t0)
+            _, vals, ids, nq, t0, qpad, params, codes = entry
             vals = np.asarray(vals)
             ids = np.asarray(ids)
             overflows = 0
@@ -400,15 +539,26 @@ class SearchEngine:
             k = self.results_per_query
             cells = float(nq) * float(self.packed.total_real_chars)
             self._total_cells += cells
-            return ScanResult(
-                scores=[int(v) for v in vals[:k]],
-                reference_ids=[int(i) for i in ids[:k]],
-                stats=BenchmarkStats(
-                    seconds=seconds,
-                    gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
-                    num_overflows=overflows,
-                ),
-            )
+            return [
+                ScanResult(
+                    scores=[int(v) for v in vals[:k]],
+                    reference_ids=[int(i) for i in ids[:k]],
+                    stats=BenchmarkStats(
+                        seconds=seconds,
+                        gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
+                        num_overflows=overflows,
+                    ),
+                )
+            ]
+
+        def flush_shorts():
+            if not shortbuf:
+                return
+            group = list(shortbuf)
+            shortbuf.clear()
+            t0 = time.perf_counter()
+            vals, ids = self._dispatch_batch(group)
+            pending.append(("batch", vals, ids, group, t0))
 
         for sequence in sequences:
             codes = (
@@ -417,9 +567,17 @@ class SearchEngine:
                 else np.asarray(sequence, np.int8)
             )
             nq = len(codes)
+            if batching and nq <= sw_pallas_cell.QCAP_BATCH:
+                shortbuf.append(codes)
+                if len(shortbuf) == self.QB_MAX:
+                    flush_shorts()
+                    while len(pending) > window:
+                        yield from materialize(pending.popleft())
+                continue
+            flush_shorts()
             if self.streaming or nq > self.qcap:
                 while pending:
-                    yield materialize(pending.popleft())
+                    yield from materialize(pending.popleft())
                 yield self.scan(codes)
                 continue
             qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
@@ -433,11 +591,12 @@ class SearchEngine:
             vals, ids = self._scan_fn(
                 qpad, params, codes=codes, exact=not self.state16
             )
-            pending.append((vals, ids, nq, t0, qpad, params, codes))
+            pending.append(("single", vals, ids, nq, t0, qpad, params, codes))
             if len(pending) > window:
-                yield materialize(pending.popleft())
+                yield from materialize(pending.popleft())
+        flush_shorts()
         while pending:
-            yield materialize(pending.popleft())
+            yield from materialize(pending.popleft())
 
     def _db_exceeds_device_memory(self) -> bool:
         budget = self.max_device_bytes

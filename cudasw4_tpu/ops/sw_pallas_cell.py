@@ -181,6 +181,140 @@ def _sw_cell_kernel(
     out_ref[0] = m.astype(jnp.float32)
 
 
+def _sw_cell_batch_kernel(
+    params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
+    *, L, U, G, NSL, QB, state_dtype=jnp.int32
+):
+    """One grid step = one tile of G*NSL subjects x QB queries.
+
+    The tile's substitution LUT is built once and its block is streamed
+    from HBM once for the whole query batch, amortising the per-tile
+    fixed costs that dominate short-query scans (queries are processed
+    sequentially inside the step, reusing the same DP state arrays — the
+    first-row peel doubles as the between-queries state reset).
+    """
+    gop = params_ref[1]
+    gex = params_ref[2]
+    narrow = state_dtype != jnp.int32
+    sat = jnp.int32(SAT) if narrow else None
+
+    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
+
+    zero = h_ref[0].astype(jnp.int32) * 0  # [G, NSL] zeros (see above)
+    negv = zero + NEG
+    nsteps = L // U
+
+    def make_col_step(qi, first):
+        def col_step(jj, carry):
+            hdiag, hleft, ecarry, m = carry
+            j0 = jj * U
+            if not first:
+                hup_s = h_ref[pl.ds(j0, U)].astype(jnp.int32)
+                fup_s = f_ref[pl.ds(j0, U)].astype(jnp.int32)
+            sub_s = lut_ref[qi, pl.ds(j0, U)].astype(jnp.int32)
+            hnew = []
+            fnew = []
+            for u in range(U):
+                hup = zero if first else hup_s[u]
+                e = jnp.maximum(ecarry + gex, hleft + gop)
+                f = jnp.maximum((negv if first else fup_s[u]) + gex, hup + gop)
+                h = jnp.maximum(hdiag + sub_s[u], jnp.maximum(e, f))
+                h = jnp.maximum(h, 0)
+                m = jnp.maximum(m, h)
+                hnew.append(h)
+                fnew.append(f)
+                hdiag = hup
+                hleft = h
+                ecarry = e
+            hs = jnp.stack(hnew)
+            if narrow:
+                hs = jnp.minimum(hs, sat)
+            h_ref[pl.ds(j0, U)] = hs.astype(state_dtype)
+            f_ref[pl.ds(j0, U)] = jnp.stack(fnew).astype(state_dtype)
+            return (hdiag, hleft, ecarry, m)
+
+        return col_step
+
+    def one_query(qb, _):
+        nq = params_ref[4 + qb]
+
+        def row_step(i, m):
+            _, _, _, m = jax.lax.fori_loop(
+                0, nsteps, make_col_step(q_ref[qb, i], False),
+                (zero, zero, negv, m),
+            )
+            return m
+
+        _, _, _, m = jax.lax.fori_loop(
+            0, nsteps, make_col_step(q_ref[qb, 0], True),
+            (zero, zero, negv, zero),
+        )
+        m = jax.lax.fori_loop(1, nq, row_step, m)
+        out_ref[0, qb] = m.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, QB, one_query, 0)
+
+
+#: Query capacity of the batch kernel's SMEM-resident query block.
+QCAP_BATCH = 512
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "unroll", "exact")
+)
+def score_bucket_pallas_cell_batch(
+    tiles: jax.Array,  # int8 [T, L, G, NSL]
+    queries: jax.Array,  # int32 [QB, QCAP_BATCH] (UNKNOWN-padded)
+    matrix_flat: jax.Array,  # int32 [441]
+    params: jax.Array,  # int32 [4+QB]: _, gop, gex, _, nq_0..nq_{QB-1}
+    interpret: bool = False,
+    unroll: int = 4,
+    exact: bool = True,
+) -> jax.Array:
+    """Scores f32 [QB, T, g*nsl]: QB queries per tile pass."""
+    T, L, g, nsl = tiles.shape
+    QB = queries.shape[0]
+    assert g % G == 0 and nsl % NSL == 0, (g, nsl)
+    assert L % unroll == 0, (L, unroll)
+    state_dtype = jnp.int32 if exact else jnp.int16
+    state_bytes = 4 if exact else 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, L, g, nsl), lambda t, *_: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, QB, g, nsl), lambda t, *_: (t, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((ALPHABET_SIZE, L, g, nsl), jnp.int8),
+            pltpu.VMEM((L, g, nsl), state_dtype),
+            pltpu.VMEM((L, g, nsl), state_dtype),
+        ],
+    )
+    kernel = functools.partial(
+        _sw_cell_batch_kernel, L=L, U=unroll, G=g, NSL=nsl, QB=QB,
+        state_dtype=state_dtype,
+    )
+    elems = L * g * nsl
+    vmem_bytes = (
+        elems * (ALPHABET_SIZE + 2)
+        + 2 * elems * state_bytes
+        + 4 * elems * 4
+        + 2 * QB * g * nsl * 4
+    )
+    vmem_bytes = min(max(int(vmem_bytes), 32 << 20), 100 << 20)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, QB, g, nsl), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(params, queries, matrix_flat, tiles)
+    return out.transpose(1, 0, 2, 3).reshape(QB, T, g * nsl)
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "unroll", "exact")
 )

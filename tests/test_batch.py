@@ -1,0 +1,86 @@
+"""Multi-query batch scanning: the batch cell kernel and engine.scan_batch/
+scan_many grouping (one tile pass serves a whole query batch)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudasw4_tpu import make_scoring_config
+from cudasw4_tpu.db.format import DBData
+from cudasw4_tpu.engine import SearchEngine
+from cudasw4_tpu.ops import sw_pallas_cell
+from cudasw4_tpu.ops.oracle import sw_score_scalar
+
+ON_TPU = jax.devices()[0].platform == "tpu"
+
+
+def test_batch_cell_kernel_matches_oracle(rng):
+    cfg = make_scoring_config("blosum62")
+    L, QB = 32, 4
+    n = 50
+    subjects = [rng.integers(0, 20, size=int(rng.integers(5, L))) for _ in range(n)]
+    tiles = np.full((1, L, 32, 128), 20, dtype=np.int8)
+    for kk, s in enumerate(subjects):
+        g, lane = divmod(kk, 128)
+        tiles[0, : len(s), g, lane] = s
+    queries = [
+        rng.integers(0, 20, size=int(rng.integers(4, 40))) for _ in range(3)
+    ]  # 3 real + 1 empty padding slot
+    qarr = np.full((QB, sw_pallas_cell.QCAP_BATCH), 20, dtype=np.int32)
+    nqs = np.zeros(QB, np.int32)
+    for i, q in enumerate(queries):
+        qarr[i, : len(q)] = q
+        nqs[i] = len(q)
+    params = np.concatenate(
+        [np.array([0, cfg.gop, cfg.gex, 0], np.int32), nqs, np.zeros(QB, np.int32)]
+    )
+    out = sw_pallas_cell.score_bucket_pallas_cell_batch(
+        jnp.asarray(tiles), jnp.asarray(qarr),
+        jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1)),
+        jnp.asarray(params), interpret=not ON_TPU,
+    )
+    out = np.asarray(out)  # [QB, T*NS]
+    for i, q in enumerate(queries):
+        got = out[i].reshape(-1)[: len(subjects)]
+        want = [sw_score_scalar(q, s, cfg.matrix, cfg.gop, cfg.gex) for s in subjects]
+        assert [int(v) for v in got] == want, f"query {i}"
+    assert np.all(out[3] <= 0)  # empty padding query scores nothing
+
+
+def _make_db(rng, n=300, maxlen=60):
+    lengths = np.sort(rng.integers(10, maxlen, size=n)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), 20, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]) : int(offsets[i]) + ln] = rng.integers(0, 20, ln)
+    headers = b"".join(f"seq{i}\n".encode() for i in range(n))
+    hoffs = np.cumsum([0] + [len(f"seq{i}\n") for i in range(n)]).astype(np.uint64)
+    return DBData(
+        chars=chars, offsets=offsets, lengths=lengths,
+        headers=np.frombuffer(headers, dtype=np.uint8), header_offsets=hoffs,
+    )
+
+
+def test_engine_scan_batch_matches_scan(rng):
+    engine = SearchEngine(num_top=5)
+    engine.set_database(_make_db(rng))
+    queries = [rng.integers(0, 20, size=int(q)) for q in (12, 30, 55)]
+    batch = engine.scan_batch(queries)
+    for q, res in zip(queries, batch):
+        single = engine.scan(q)
+        assert res.scores == single.scores
+        assert res.reference_ids == single.reference_ids
+
+
+def test_engine_scan_many_grouping(rng):
+    engine = SearchEngine(num_top=3)
+    engine.set_database(_make_db(rng))
+    queries = [rng.integers(0, 20, size=int(rng.integers(8, 80))) for _ in range(7)]
+    got = list(engine.scan_many(queries))
+    assert len(got) == 7
+    for q, res in zip(queries, got):
+        single = engine.scan(q)
+        assert res.scores == single.scores
+        assert res.reference_ids == single.reference_ids
