@@ -1,11 +1,13 @@
-"""``gridsearch`` — kernel geometry autotuner (CLI).
+"""``gridsearch`` — kernel autotuning harness (CLI).
 
 The TPU analog of the reference's gridsearch tool
 (/root/reference/src/gridsearch.cu): where that sweeps CUDA template shapes
 (group_size x numRegs) over pseudo databases to produce the kernel dispatch
-table, this sweeps Pallas tile geometries (subject length L x lanes NS) and
-query lengths, timing the raw bucket kernel on device, and reports a GCUPS
-table plus the best lanes choice per length.
+table, this sweeps the Pallas kernel family (row-streaming / cell-sequential
+/ column-chunked), the inner-loop unroll factor and tile geometry over
+(subject length x query length) grids, timing the raw bucket kernels on
+device.  The winners inform db/packing.py's layout chooser
+(choose_bucket_layout) and the kernels' default unroll.
 
 Timing materializes results to host (block_until_ready does not block on
 tunneled platforms).
@@ -22,7 +24,8 @@ import numpy as np
 def run(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     lengths = [128, 256, 512, 1024, 2048]
-    lanes_list = [128, 256, 512, 1024]
+    kernels = ["row", "cell", "col"]
+    unrolls = [2, 4, 8]
     qlens = [512]
     num_chars = 32 << 20  # chars per pseudo db (fixed work per config)
     reps = 3
@@ -38,8 +41,10 @@ def run(argv=None) -> int:
 
         if a == "--lengths":
             lengths = [int(x) for x in val().split(",")]
-        elif a == "--lanes":
-            lanes_list = [int(x) for x in val().split(",")]
+        elif a == "--kernels":
+            kernels = val().split(",")
+        elif a == "--unrolls":
+            unrolls = [int(x) for x in val().split(",")]
         elif a == "--querylengths":
             qlens = [int(x) for x in val().split(",")]
         elif a == "--chars":
@@ -50,8 +55,9 @@ def run(argv=None) -> int:
             outfile = val()
         elif a == "--help":
             print(
-                "Usage: gridsearch [--lengths l1,l2,..] [--lanes n1,n2,..] "
-                "[--querylengths q1,..] [--chars N] [--reps R] [--of file]"
+                "Usage: gridsearch [--lengths l1,l2,..] [--kernels row,cell,col]"
+                " [--unrolls u1,..] [--querylengths q1,..] [--chars N]"
+                " [--reps R] [--of file]"
             )
             return 0
         else:
@@ -62,7 +68,7 @@ def run(argv=None) -> int:
     import jax.numpy as jnp
 
     from .. import make_scoring_config
-    from ..ops import sw_pallas
+    from ..ops import sw_pallas, sw_pallas_cell, sw_pallas_col
     from ..ops.sw_jax import score_tiles_jnp
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -72,65 +78,104 @@ def run(argv=None) -> int:
     rng = np.random.default_rng(42)
 
     rows = []
-    print(f"{'length':>7} {'lanes':>6} {'tiles':>6} {'qlen':>5} {'ms':>9} {'GCUPS':>9}")
+    print(
+        f"{'kernel':>6} {'length':>7} {'unroll':>6} {'tiles':>6} {'qlen':>5}"
+        f" {'ms':>9} {'GCUPS':>9}"
+    )
     best: dict = {}
     for L in lengths:
-        for NS in lanes_list:
-            T = max(1, num_chars // (L * NS))
-            tiles = rng.integers(0, 20, size=(T, L, NS)).astype(np.int8)
-            tiles_dev = jnp.asarray(tiles)
-            for qlen in qlens:
-                try:
-                    qpad, nq = sw_pallas.prepare_query(
-                        rng.integers(0, 20, size=min(qlen, sw_pallas.QCAP))
-                    )
-                    params = jnp.asarray(
-                        np.array([nq, cfg.gop, cfg.gex, 0], dtype=np.int32)
-                    )
+        spt = sw_pallas_cell.SUBJECTS_PER_TILE
+        n = max(spt, (num_chars // (L * spt)) * spt)
+        data = rng.integers(0, 20, size=(n, L)).astype(np.int8)
+        Tc = n // spt
+        tiles_wide = jnp.asarray(
+            data.reshape(Tc, spt, L).transpose(0, 2, 1)
+            .reshape(Tc, L, 32, 128).copy()
+        )
+        NSr = 128
+        Tr = n // NSr
+        tiles_row = jnp.asarray(data.reshape(Tr, NSr, L).transpose(0, 2, 1).copy())
 
-                    def once(qv):
-                        if on_tpu:
-                            out = sw_pallas.score_bucket_pallas(
-                                tiles_dev, qv, mat_flat, params
-                            )
+        for qlen in qlens:
+            q = rng.integers(0, 20, size=min(qlen, sw_pallas.QCAP))
+            qpad, nq = sw_pallas.prepare_query(q)
+            qdev = jnp.asarray(qpad)
+            cells = float(n) * L * nq
+            for kernel in kernels:
+                for U in unrolls:
+                    try:
+                        nq_pad = -(-nq // U) * U
+                        params = jnp.asarray(np.array(
+                            [nq, cfg.gop, cfg.gex, nq_pad], dtype=np.int32
+                        ))
+                        if not on_tpu:
+                            def once():
+                                return np.asarray(score_tiles_jnp(
+                                    tiles_row, qdev, mat_f32,
+                                    jnp.float32(cfg.gop), jnp.float32(cfg.gex),
+                                    jnp.int32(nq),
+                                ))
+                        elif kernel == "row":
+                            if U != unrolls[0]:
+                                continue  # row kernel has no unroll knob
+                            def once():
+                                return np.asarray(sw_pallas.score_bucket_pallas(
+                                    tiles_row, qdev, mat_flat, params
+                                ))
+                        elif kernel == "cell":
+                            def once(U=U):
+                                return np.asarray(
+                                    sw_pallas_cell.score_bucket_pallas_cell(
+                                        tiles_wide, qdev, mat_flat, params,
+                                        unroll=U,
+                                    )
+                                )
+                        elif kernel == "col":
+                            if L % sw_pallas_col.LC:
+                                continue
+                            def once(U=U):
+                                return np.asarray(
+                                    sw_pallas_col.score_bucket_col_any_query(
+                                        tiles_wide, q, mat_flat,
+                                        cfg.gop, cfg.gex, unroll=U,
+                                    )
+                                )
                         else:
-                            out = score_tiles_jnp(
-                                tiles_dev, qv, mat_f32,
-                                jnp.float32(cfg.gop), jnp.float32(cfg.gex),
-                                jnp.int32(nq),
-                            )
-                        return np.asarray(out)
+                            print(f"unknown kernel {kernel}")
+                            continue
 
-                    once(jnp.asarray(qpad))  # compile + warm
-                    times = []
-                    for _ in range(reps):
-                        q2, _ = sw_pallas.prepare_query(
-                            rng.integers(0, 20, size=nq)
+                        once()  # compile + warm
+                        times = []
+                        for _ in range(reps):
+                            t0 = time.perf_counter()
+                            once()
+                            times.append(time.perf_counter() - t0)
+                        dt = min(times)
+                        gcups = cells / dt / 1e9
+                        T = Tr if kernel == "row" else Tc
+                        print(
+                            f"{kernel:>6} {L:>7} {U:>6} {T:>6} {nq:>5}"
+                            f" {dt*1e3:>9.2f} {gcups:>9.1f}"
                         )
-                        qv = jnp.asarray(q2)
-                        np.asarray(qv)
-                        t0 = time.perf_counter()
-                        once(qv)
-                        times.append(time.perf_counter() - t0)
-                    dt = min(times)
-                    gcups = T * L * NS * nq / dt / 1e9
-                    print(
-                        f"{L:>7} {NS:>6} {T:>6} {nq:>5} {dt*1e3:>9.2f} {gcups:>9.1f}"
-                    )
-                    rows.append((L, NS, T, nq, dt, gcups))
-                    key = (L, nq)
-                    if key not in best or gcups > best[key][1]:
-                        best[key] = (NS, gcups)
-                except Exception as e:
-                    print(f"{L:>7} {NS:>6} {'-':>6} {qlen:>5} FAILED: {str(e)[:60]}")
+                        rows.append((kernel, L, U, T, nq, dt, gcups))
+                        key = (L, nq)
+                        if key not in best or gcups > best[key][2]:
+                            best[key] = (kernel, U, gcups)
+                        if not on_tpu or kernel == "row":
+                            break  # unroll sweep is meaningless here
+                    except Exception as e:
+                        print(
+                            f"{kernel:>6} {L:>7} {U:>6} {'-':>6} {qlen:>5}"
+                            f" FAILED: {str(e)[:60]}"
+                        )
 
-    print("\nBest lanes per (length, querylength):")
-    for (L, nq), (NS, gcups) in sorted(best.items()):
-        print(f"  L={L:5d} q={nq:5d}: NS={NS:5d} ({gcups:.1f} GCUPS)")
+    print("\nBest kernel per (length, querylength):")
+    for (L, nq), (kernel, U, gcups) in sorted(best.items()):
+        print(f"  L={L:5d} q={nq:5d}: {kernel} unroll={U} ({gcups:.1f} GCUPS)")
 
     if outfile:
         with open(outfile, "w") as f:
-            f.write("length\tlanes\ttiles\tqlen\tseconds\tgcups\n")
+            f.write("kernel\tlength\tunroll\ttiles\tqlen\tseconds\tgcups\n")
             for r in rows:
                 f.write("\t".join(str(x) for x in r) + "\n")
     return 0

@@ -66,6 +66,23 @@ COL_SPEEDUP = 2.8
 JNP_REL_SPEED = 0.05
 
 
+#: Padded-length ladder for the long tail (> CELL_MAX_L): multiples of 128
+#: (the column kernel's chunk size) in ~1.2x steps so the jit compile cache
+#: stays bounded across databases.
+LONG_LADDER = [
+    640, 768, 896, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 3584, 4096,
+    5120, 6144, 7168, 8192, 10240, 12288, 14336, 16384, 20480, 24576,
+    28672, 32768, 40960, 49152, 57344, 65536,
+]
+
+
+def ladder_length(length: int) -> int:
+    for e in LONG_LADDER:
+        if length <= e:
+            return e
+    return -(-length // 8192) * 8192
+
+
 def lanes_for_length(L: int) -> int:
     return MIN_LANES
 
@@ -158,24 +175,8 @@ def pack_db(
     if n and not np.all(lengths[1:] >= lengths[:-1]):
         raise ValueError("database is not sorted by length ascending")
 
-    # Determine bucket index ranges via searchsorted on the sorted lengths.
-    max_len = int(lengths[-1]) if n else 0
-    all_edges = [e for e in edges if e <= MAX_SINGLE_PASS]
-    e = all_edges[-1] if all_edges else LONG_CHUNK
-    while e < max_len:
-        e += LONG_CHUNK
-        all_edges.append(e)
-
-    buckets: list[PackedBucket] = []
-    start = 0
-    for edge in all_edges:
-        stop = int(np.searchsorted(lengths, edge + 1, side="left"))
+    def pack_range(start, stop, L, NS, kernel):
         count = stop - start
-        if count <= 0:
-            start = stop
-            continue
-        L = edge
-        NS, kernel = choose_bucket_layout(L, count)
         T = -(-count // NS)
 
         def finish(tiles, seq_index, seq_lengths):
@@ -188,7 +189,6 @@ def pack_db(
                 )
             )
 
-        native = None
         if use_native:
             from ..native import pack_bucket_native
 
@@ -196,10 +196,9 @@ def pack_db(
                 np.asarray(chars), offsets, lengths.astype(np.int32),
                 start, stop, L, NS,
             )
-        if native is not None:
-            finish(*native)
-            start = stop
-            continue
+            if native is not None:
+                finish(*native)
+                return
 
         tiles = np.full((T, L, NS), UNKNOWN, dtype=np.int8)
         seq_index = np.full((T, NS), -1, dtype=np.int32)
@@ -234,7 +233,39 @@ def pack_db(
             seq_lengths[t0:t1] = slen.reshape(nt, NS)
 
         finish(tiles, seq_index, seq_lengths)
+
+    buckets: list[PackedBucket] = []
+
+    # Short part: fixed edges (fine-grained to cut padding waste).
+    start = 0
+    for edge in [e for e in edges if e <= CELL_MAX_L]:
+        stop = int(np.searchsorted(lengths, edge + 1, side="left"))
+        if stop > start:
+            NS, kernel = choose_bucket_layout(edge, stop - start)
+            pack_range(start, stop, edge, NS, kernel)
         start = stop
+
+    # Long tail (> CELL_MAX_L): top-down chunks of CELL_SUBJECTS
+    # consecutive sequences, each padded to a ladder length just above its
+    # longest member, then adjacent equal-L chunks merged into one bucket.
+    # Near-100% lane occupancy for every tile except the very last chunk —
+    # fixed edges waste most of a 4096-subject tile out here (a 44-sequence
+    # tail bucket would burn 99% of its tile).
+    if start < n:
+        long_start = start
+        chunk_runs: list[list] = []  # [lo, hi, L], descending
+        i = n
+        while i > long_start:
+            j = max(long_start, i - CELL_SUBJECTS)
+            L = ladder_length(int(lengths[i - 1]))
+            if chunk_runs and chunk_runs[-1][2] == L:
+                chunk_runs[-1][0] = j
+            else:
+                chunk_runs.append([j, i, L])
+            i = j
+        for lo, hi, L in reversed(chunk_runs):
+            NS, kernel = choose_bucket_layout(L, hi - lo)
+            pack_range(lo, hi, L, NS, kernel)
 
     return PackedDB(
         buckets=buckets,

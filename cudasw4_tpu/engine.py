@@ -98,6 +98,10 @@ class SearchEngine:
         # more than the halved VMEM traffic saves (measured 1.45x slower);
         # kept as an opt-in experiment for other TPU generations.
         self.state16 = os.environ.get("CUDASW4_TPU_STATE16", "0") == "1"
+        # Re-score every scan's top-N on the CPU oracle (the analog of the
+        # reference's -DCUDASW_DEBUG_CHECK_CORRECTNESS build,
+        # /root/reference/src/cudasw4.cuh:728-756).
+        self.debug_check = os.environ.get("CUDASW4_TPU_DEBUG_CHECK", "0") == "1"
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -359,11 +363,32 @@ class SearchEngine:
             gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
             num_overflows=overflows,
         )
-        return ScanResult(
+        result = ScanResult(
             scores=[int(v) for v in np.asarray(vals)],
             reference_ids=[int(i) for i in np.asarray(ids)],
             stats=stats,
         )
+        if self.debug_check:
+            self._debug_check_result(codes, result)
+        return result
+
+    def _debug_check_result(self, codes, result: ScanResult) -> None:
+        """Re-score the top-N hits with the scalar CPU oracle and assert
+        equality (CUDASW4_TPU_DEBUG_CHECK=1; the reference re-scores the
+        whole DB under CUDASW_DEBUG_CHECK_CORRECTNESS — top-N keeps this
+        usable on real databases)."""
+        from .ops.oracle import sw_score_scalar
+
+        for score, ref in zip(result.scores, result.reference_ids):
+            want = sw_score_scalar(
+                codes, self.db.get_sequence(int(ref)),
+                self.scoring.matrix, self.scoring.gop, self.scoring.gex,
+            )
+            if int(score) != int(want):
+                raise AssertionError(
+                    f"debug check failed: refId {ref} scored {score}, "
+                    f"oracle says {want}"
+                )
 
     def _has_overflow(self, vals) -> bool:
         return (

@@ -171,13 +171,16 @@ def test_pack_long_sequences():
         header_offsets=np.zeros(4, dtype=np.uint64),
     )
     packed = pack_db(db)
+    # top-down long-tail packing: both long sequences share one
+    # ladder-length bucket just above the longest member
     Ls = sorted(b.L for b in packed.buckets)
-    assert Ls == [112, 4096, 6144]
+    assert Ls == [112, 5120]
     long_buckets = [b for b in packed.buckets if b.is_long]
-    assert len(long_buckets) == 2
-    b = [x for x in packed.buckets if x.L == 4096][0]
+    assert len(long_buckets) == 1
+    b = long_buckets[0]
     from cudasw4_tpu.db.packing import unpack_tile_sequences
 
     seqs = unpack_tile_sequences(b, 0)
-    assert len(seqs) == 1
+    assert len(seqs) == 2
     assert np.array_equal(seqs[0], db.get_sequence(1))
+    assert np.array_equal(seqs[1], db.get_sequence(2))
