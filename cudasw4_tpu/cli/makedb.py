@@ -30,21 +30,32 @@ def run(argv=None) -> int:
         return 0
     input_path, prefix = argv[0], argv[1]
     mem = None
+    tempdir = None
     i = 2
     while i < len(argv):
         if argv[i] == "--mem":
             i += 1
             mem = parse_memory_string(argv[i])
         elif argv[i] == "--tempdir":
-            i += 1  # accepted for compatibility
+            i += 1
+            tempdir = argv[i]
         else:
             print(f"Unexpected arg {argv[i]}")
         i += 1
-    del mem
 
     print("Parsing file")
     t0 = time.perf_counter()
-    stats = make_db(input_path, prefix, progress_every=1_000_000)
+    if mem is not None:
+        # Memory-capped: spill encoded bytes to temp files while parsing
+        # (the reference's FileBackedUVector mechanism).
+        from ..db.format import make_db_capped
+
+        stats = make_db_capped(
+            input_path, prefix, mem, tempdir=tempdir,
+            progress_every=1_000_000,
+        )
+    else:
+        stats = make_db(input_path, prefix, progress_every=1_000_000)
     dt = time.perf_counter() - t0
     print(f"Number of input sequences:  {stats['num_sequences']}")
     print(f"Number of input characters: {stats['num_chars']}")

@@ -177,6 +177,119 @@ def write_db_from_arrays(
             np.uint64(cur_head).tofile(fho)
 
 
+def make_db_capped(
+    input_path: str,
+    prefix: str,
+    mem_limit: int,
+    tempdir: str | None = None,
+    progress_every: int = 0,
+) -> dict:
+    """Memory-capped ``makedb``: spills encoded sequence/header bytes to
+    temp files during the parse, then writes the length-sorted output by
+    random access into the spill (the reference's FileBackedUVector /
+    HybridBatch mechanism, /root/reference/src/mmapbuffer.hpp:332-500 and
+    makedb.cpp:80-103).  Only the per-sequence index (lengths/offsets,
+    ~24 B/sequence) stays in RAM.
+    """
+    import os
+    import tempfile
+
+    from ..constants import encode as _encode
+
+    tempdir = tempdir or os.path.dirname(os.path.abspath(prefix))
+    del mem_limit  # index is O(n); char data always spills in this mode
+
+    with tempfile.NamedTemporaryFile(dir=tempdir, suffix=".chars") as tc, \
+         tempfile.NamedTemporaryFile(dir=tempdir, suffix=".hdrs") as th:
+        offsets = [0]
+        lengths: list[int] = []
+        hoffsets = [0]
+        buf: list[bytes] = []
+        hbuf: list[bytes] = []
+        buf_bytes = 0
+        for rec in read_sequences(input_path):
+            seq = rec.sequence
+            if len(seq) > MAX_SEQUENCE_LENGTH:
+                raise ValueError(
+                    f"sequence of length {len(seq)} exceeds maximum "
+                    f"{MAX_SEQUENCE_LENGTH}"
+                )
+            if len(lengths) >= MAX_SEQUENCES_IN_DB:
+                raise ValueError(f"more than {MAX_SEQUENCES_IN_DB} sequences")
+            padded = seq + " " * (pad_length(len(seq)) - len(seq))
+            raw = _encode(padded).tobytes()
+            buf.append(raw)
+            buf_bytes += len(raw)
+            offsets.append(offsets[-1] + len(raw))
+            lengths.append(len(seq))
+            h = rec.header.encode("latin-1", errors="replace")
+            hbuf.append(h)
+            hoffsets.append(hoffsets[-1] + len(h))
+            if buf_bytes >= (64 << 20):
+                tc.write(b"".join(buf))
+                th.write(b"".join(hbuf))
+                buf, hbuf, buf_bytes = [], [], 0
+            if progress_every and len(lengths) % progress_every == 0:
+                print(f"  parsed {len(lengths)} sequences ...", flush=True)
+        tc.write(b"".join(buf))
+        th.write(b"".join(hbuf))
+        tc.flush()
+        th.flush()
+
+        n = len(lengths)
+        lengths_a = np.asarray(lengths, dtype=np.int32)
+        offsets_a = np.asarray(offsets, dtype=np.int64)
+        hoff_a = np.asarray(hoffsets, dtype=np.int64)
+        chars_mm = np.memmap(tc.name, dtype=np.int8, mode="r") if n else \
+            np.zeros(0, np.int8)
+        hdr_mm = np.memmap(th.name, dtype=np.uint8, mode="r") if n else \
+            np.zeros(0, np.uint8)
+
+        order = np.argsort(lengths_a, kind="stable")
+        write_db_permuted(
+            prefix, chars_mm, offsets_a, lengths_a, hdr_mm, hoff_a, order
+        )
+        return {
+            "num_sequences": n,
+            "num_chars": int(lengths_a.astype(np.int64).sum()),
+            "num_padded_chars": int(offsets_a[-1]),
+        }
+
+
+def write_db_permuted(
+    prefix, chars, offsets, lengths, headers_blob, header_offsets, order
+) -> None:
+    """Write the 6-file format given a precomputed permutation, reading
+    sequence/header bytes through any array-like (incl. memmap)."""
+    files = _chunk_files(prefix)
+    sorted_lengths = np.asarray(lengths, dtype=np.int64)[order]
+    with open(prefix + "metadata", "wb"):
+        pass
+    with open(files["metadata"], "wb") as f:
+        bounds = np.asarray(LENGTH_PARTITION_BOUNDARIES, dtype=np.int32)
+        np.int32(len(bounds)).tofile(f)
+        bounds.tofile(f)
+        partition_histogram(sorted_lengths).tofile(f)
+    with open(files["chars"], "wb") as fc, open(files["offsets"], "wb") as fo, \
+         open(files["lengths"], "wb") as fl, open(files["headers"], "wb") as fh, \
+         open(files["headeroffsets"], "wb") as fho:
+        cur_char = np.uint64(0)
+        cur_head = np.uint64(0)
+        np.uint64(0).tofile(fo)
+        np.uint64(0).tofile(fho)
+        for idx in order:
+            idx = int(idx)
+            a, b = int(offsets[idx]), int(offsets[idx + 1])
+            fc.write(np.asarray(chars[a:b], dtype=np.int8).tobytes())
+            cur_char += np.uint64(b - a)
+            np.uint64(cur_char).tofile(fo)
+            np.int32(lengths[idx]).tofile(fl)
+            ha, hb = int(header_offsets[idx]), int(header_offsets[idx + 1])
+            fh.write(np.asarray(headers_blob[ha:hb], dtype=np.uint8).tobytes())
+            cur_head += np.uint64(hb - ha)
+            np.uint64(cur_head).tofile(fho)
+
+
 def make_db(
     input_path: str,
     prefix: str,

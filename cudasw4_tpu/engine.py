@@ -404,7 +404,7 @@ class SearchEngine:
     #: serves the whole batch: the DB block streams from HBM once and the
     #: substitution LUT is built once per tile for all QB_MAX queries,
     #: amortising the per-tile fixed costs that dominate short-query scans.
-    QB_MAX = 16
+    QB_MAX = 8
 
     def _can_batch(self) -> bool:
         return (

@@ -256,8 +256,9 @@ def _sw_cell_batch_kernel(
     jax.lax.fori_loop(0, QB, one_query, 0)
 
 
-#: Query capacity of the batch kernel's SMEM-resident query block.
-QCAP_BATCH = 512
+#: Query capacity of the batch kernel's SMEM-resident query block
+#: (QB_MAX * QCAP_BATCH * 4B must stay SMEM-friendly, ~32 KB).
+QCAP_BATCH = 1024
 
 
 @functools.partial(

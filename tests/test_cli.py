@@ -170,3 +170,26 @@ def test_modifydb_unknown_op(small_db, capsys):
 
     prefix, _, _ = small_db
     assert modifydb_cli.run(["frobnicate", prefix]) == 1
+
+
+def test_makedb_capped_identical(tmp_path, rng):
+    """--mem spills to temp files but output is byte-identical
+    (the reference's FileBackedUVector mechanism, makedb.cpp:80-103)."""
+    import filecmp
+
+    from cudasw4_tpu.cli import makedb as makedb_cli
+
+    fa = tmp_path / "in.fa"
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    with open(fa, "w") as f:
+        for i in range(25):
+            ln = int(rng.integers(5, 120))
+            f.write(f">s{i} hdr\n")
+            f.write("".join(aas[c] for c in rng.integers(0, 20, ln)) + "\n")
+    p1 = str(tmp_path / "plain")
+    p2 = str(tmp_path / "capped")
+    makedb_cli.run([str(fa), p1])
+    makedb_cli.run([str(fa), p2, "--mem", "1M", "--tempdir", str(tmp_path)])
+    for suf in ("0chars", "0offsets", "0lengths", "0headers",
+                "0headeroffsets", "0metadata"):
+        assert filecmp.cmp(p1 + suf, p2 + suf, shallow=False), suf
