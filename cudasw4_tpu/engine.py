@@ -277,6 +277,8 @@ class SearchEngine:
         ndev = len(mesh.devices.flat)
         sh.pad_tiles_for_mesh(self.packed, ndev)
         tiles, seq_idx, _ = sh.shard_bucket_arrays(self.packed, mesh)
+        self._sharded_tiles = tiles
+        self._sharded_idx = seq_idx
         kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
         use_pallas = self.backend == "pallas"
         k = self.results_per_query
@@ -410,7 +412,6 @@ class SearchEngine:
         return (
             self.backend == "pallas"
             and not self.streaming
-            and (self.mesh is None or len(self.mesh.devices.flat) <= 1)
             and self.packed is not None
         )
 
@@ -419,6 +420,22 @@ class SearchEngine:
         use_pallas = self.backend == "pallas"
         k = self.results_per_query
         QB = self.QB_MAX
+
+        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+            from .parallel import sharding as sh
+
+            fn = sh.build_sharded_batch_scan(
+                self.mesh, kinds, use_pallas, k, QB
+            )
+
+            def run_sharded(queries, qpad_full, params):
+                return fn(
+                    queries, qpad_full, params,
+                    self._sharded_tiles, self._sharded_idx,
+                    self._matrix_flat, self._matrix_f32,
+                )
+
+            return run_sharded
 
         @jax.jit
         def batch_fn(queries, qpad_full, params, bucket_tiles, valid,

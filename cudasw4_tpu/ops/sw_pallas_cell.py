@@ -98,41 +98,32 @@ def build_sub_lut(x_ref, b_ref, lut_ref, shape, rows: int = 8):
     jax.lax.fori_loop(0, ALPHABET_SIZE * nchunks, build_chunk, 0)
 
 
-def _sw_cell_kernel(
-    params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
-    *, L, U, G, NSL, state_dtype=jnp.int16
+def _run_query_sweeps(
+    qrow, nq, h_ref, f_ref, lut_ref, gop, gex, zero, negv,
+    U, nsteps, state_dtype
 ):
-    """One grid step = one tile of G*NSL subjects, full query sweep."""
-    nq = params_ref[0]
-    gop = params_ref[1]
-    gex = params_ref[2]
+    """Full-query DP over the tile held in h_ref/f_ref; returns the running
+    max m [G, NSL] int32.
+
+    The ``first`` sweep (query row 0) reads no H/F state — the virtual row
+    above is H=0 / F=-inf — which also means the state arrays never need a
+    bulk init (a measured ~1.3 ms/tile of splat stores otherwise).  nq==0
+    is safe: padded UNKNOWN rows can never raise m (B[UNKNOWN][.] < 0).
+    Two-row sweep fusion was tried and measured ~17% SLOWER on v5e
+    (register pressure outweighs the halved state traffic).
+
+    ``qrow``: i -> scalar letter index (SMEM read).
+    """
     narrow = state_dtype != jnp.int32
     sat = jnp.int32(SAT) if narrow else None
 
-    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
-
-    # Loop-carry initialisers must have a concrete (non-replicated) vector
-    # layout or Mosaic rejects the loop phi ("Invalid relayout: ... is
-    # replicated in destination but not in source"); deriving them from a
-    # VMEM load yields one, where a jnp.zeros splat would not.  (int
-    # garbage * 0 == 0, so reading uninitialised scratch is safe here.)
-    zero = h_ref[0].astype(jnp.int32) * 0  # [G, NSL] zeros
-    negv = zero + NEG
-    nsteps = L // U
-
     def make_col_step(qi, first):
-        # ``first`` (query row 0) reads no H/F state — the virtual row
-        # above is H=0 / F=-inf — which also means the state arrays never
-        # need a bulk init (a measured ~1.3 ms/tile of splat stores at
-        # L=512 that dwarfed the DP itself for short queries).
         def col_step(jj, carry):
             hdiag, hleft, ecarry, m = carry
             j0 = jj * U
             if not first:
-                # H[i-1, j0:j0+U] / F[i-1, j0:j0+U]; arithmetic is int32,
-                # state rides int16 (halves the VMEM port traffic the DP
-                # loop is bound by — the reference's dpx_s16 idea applied
-                # to memory, not ALUs; Mosaic has no 2x-rate int16 ALU).
+                # Arithmetic is int32; state may ride int16 (the
+                # reference's dpx_s16 idea applied to memory, not ALUs).
                 hup_s = h_ref[pl.ds(j0, U)].astype(jnp.int32)
                 fup_s = f_ref[pl.ds(j0, U)].astype(jnp.int32)
             sub_s = lut_ref[qi, pl.ds(j0, U)].astype(jnp.int32)
@@ -168,16 +159,39 @@ def _sw_cell_kernel(
 
     def row_step(i, m):
         _, _, _, m = jax.lax.fori_loop(
-            0, nsteps, make_col_step(q_ref[i], False), (zero, zero, negv, m)
+            0, nsteps, make_col_step(qrow(i), False), (zero, zero, negv, m)
         )
         return m
 
-    # Row 0 runs unconditionally; if nq == 0 its padded UNKNOWN letters
-    # cannot produce a positive score (B[UNKNOWN][.] < 0), so m stays 0.
     _, _, _, m = jax.lax.fori_loop(
-        0, nsteps, make_col_step(q_ref[0], True), (zero, zero, negv, zero)
+        0, nsteps, make_col_step(qrow(0), True), (zero, zero, negv, zero)
     )
-    m = jax.lax.fori_loop(1, nq, row_step, m)
+    return jax.lax.fori_loop(1, nq, row_step, m)
+
+
+def _sw_cell_kernel(
+    params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
+    *, L, U, G, NSL, state_dtype=jnp.int16
+):
+    """One grid step = one tile of G*NSL subjects, full query sweep."""
+    nq = params_ref[0]
+    gop = params_ref[1]
+    gex = params_ref[2]
+
+    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
+
+    # Loop-carry initialisers must have a concrete (non-replicated) vector
+    # layout or Mosaic rejects the loop phi ("Invalid relayout: ... is
+    # replicated in destination but not in source"); deriving them from a
+    # VMEM load yields one, where a jnp.zeros splat would not.  (int
+    # garbage * 0 == 0, so reading uninitialised scratch is safe here.)
+    zero = h_ref[0].astype(jnp.int32) * 0  # [G, NSL] zeros
+    negv = zero + NEG
+
+    m = _run_query_sweeps(
+        lambda i: q_ref[i], nq, h_ref, f_ref, lut_ref, gop, gex,
+        zero, negv, U, L // U, state_dtype,
+    )
     out_ref[0] = m.astype(jnp.float32)
 
 
@@ -195,61 +209,18 @@ def _sw_cell_batch_kernel(
     """
     gop = params_ref[1]
     gex = params_ref[2]
-    narrow = state_dtype != jnp.int32
-    sat = jnp.int32(SAT) if narrow else None
 
     build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
 
     zero = h_ref[0].astype(jnp.int32) * 0  # [G, NSL] zeros (see above)
     negv = zero + NEG
-    nsteps = L // U
-
-    def make_col_step(qi, first):
-        def col_step(jj, carry):
-            hdiag, hleft, ecarry, m = carry
-            j0 = jj * U
-            if not first:
-                hup_s = h_ref[pl.ds(j0, U)].astype(jnp.int32)
-                fup_s = f_ref[pl.ds(j0, U)].astype(jnp.int32)
-            sub_s = lut_ref[qi, pl.ds(j0, U)].astype(jnp.int32)
-            hnew = []
-            fnew = []
-            for u in range(U):
-                hup = zero if first else hup_s[u]
-                e = jnp.maximum(ecarry + gex, hleft + gop)
-                f = jnp.maximum((negv if first else fup_s[u]) + gex, hup + gop)
-                h = jnp.maximum(hdiag + sub_s[u], jnp.maximum(e, f))
-                h = jnp.maximum(h, 0)
-                m = jnp.maximum(m, h)
-                hnew.append(h)
-                fnew.append(f)
-                hdiag = hup
-                hleft = h
-                ecarry = e
-            hs = jnp.stack(hnew)
-            if narrow:
-                hs = jnp.minimum(hs, sat)
-            h_ref[pl.ds(j0, U)] = hs.astype(state_dtype)
-            f_ref[pl.ds(j0, U)] = jnp.stack(fnew).astype(state_dtype)
-            return (hdiag, hleft, ecarry, m)
-
-        return col_step
 
     def one_query(qb, _):
         nq = params_ref[4 + qb]
-
-        def row_step(i, m):
-            _, _, _, m = jax.lax.fori_loop(
-                0, nsteps, make_col_step(q_ref[qb, i], False),
-                (zero, zero, negv, m),
-            )
-            return m
-
-        _, _, _, m = jax.lax.fori_loop(
-            0, nsteps, make_col_step(q_ref[qb, 0], True),
-            (zero, zero, negv, zero),
+        m = _run_query_sweeps(
+            lambda i: q_ref[qb, i], nq, h_ref, f_ref, lut_ref, gop, gex,
+            zero, negv, U, L // U, state_dtype,
         )
-        m = jax.lax.fori_loop(1, nq, row_step, m)
         out_ref[0, qb] = m.astype(jnp.float32)
         return 0
 

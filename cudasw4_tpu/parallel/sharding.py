@@ -65,6 +65,70 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh):
     return tiles, seq_idx, rep
 
 
+def build_sharded_batch_scan(
+    mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int
+):
+    """Batched variant of build_sharded_scan: scores QB queries per pass
+    (cell buckets use the multi-query batch kernel, one tile stream for
+    the whole batch), with per-query local top-k + all_gather merge.
+
+    Returns jitted (queries [QB, QCAP_BATCH], qpad_full [QB, QCAP],
+    params [4+2*QB], tiles_tuple, idx_tuple, mat_flat, mat_f32) ->
+    (scores [QB, k], reference_ids [QB, k]) replicated.
+    """
+    import jax.numpy as jnp
+
+    from ..ops import sw_pallas_cell
+
+    axis = mesh.axis_names[0]
+
+    def body(queries, qpad_full, params, tiles_tuple, idx_tuple,
+             mat_flat, mat_f32):
+        per_qb = [[] for _ in range(QB)]
+        idparts = []
+        for tiles, sidx, kind in zip(tiles_tuple, idx_tuple, kinds):
+            if use_pallas and kind == "cell":
+                s = sw_pallas_cell.score_bucket_pallas_cell_batch(
+                    tiles, queries, mat_flat, params
+                )
+                for qb in range(QB):
+                    per_qb[qb].append(s[qb].reshape(-1))
+            else:
+                for qb in range(QB):
+                    pq = jnp.stack([
+                        params[4 + qb], params[1], params[2],
+                        params[4 + QB + qb],
+                    ])
+                    s = score_bucket(
+                        tiles, qpad_full[qb], mat_flat, mat_f32, pq,
+                        use_pallas, kind, exact=True,
+                    )
+                    per_qb[qb].append(s.reshape(-1))
+            idparts.append(sidx.reshape(-1))
+        ids = jnp.concatenate(idparts) if len(idparts) > 1 else idparts[0]
+        rows = jnp.stack([
+            jnp.concatenate(p) if len(p) > 1 else p[0] for p in per_qb
+        ])
+        rows = jnp.where((ids >= 0)[None, :], rows, -1.0)
+        kl = max(1, min(k, rows.shape[1]))
+        v, i = jax.lax.top_k(rows, kl)  # [QB, kl]
+        ids_sel = jnp.take(ids, i)
+        vg = jax.lax.all_gather(v, axis, axis=1).reshape(QB, -1)
+        ig = jax.lax.all_gather(ids_sel, axis, axis=1).reshape(QB, -1)
+        kf = max(1, min(k, vg.shape[1]))
+        vfin, ifin = jax.lax.top_k(vg, kf)
+        return vfin, jnp.take_along_axis(ig, ifin, axis=1)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def build_sharded_scan(
     mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, exact: bool = False
 ):

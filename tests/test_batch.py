@@ -65,6 +65,7 @@ def _make_db(rng, n=300, maxlen=60):
 
 def test_engine_scan_batch_matches_scan(rng):
     engine = SearchEngine(num_top=5)
+    engine.QB_MAX = 4  # keep the CPU-compile cost of the batch jit small
     engine.set_database(_make_db(rng))
     queries = [rng.integers(0, 20, size=int(q)) for q in (12, 30, 55)]
     batch = engine.scan_batch(queries)
@@ -76,11 +77,27 @@ def test_engine_scan_batch_matches_scan(rng):
 
 def test_engine_scan_many_grouping(rng):
     engine = SearchEngine(num_top=3)
+    engine.QB_MAX = 4
     engine.set_database(_make_db(rng))
     queries = [rng.integers(0, 20, size=int(rng.integers(8, 80))) for _ in range(7)]
     got = list(engine.scan_many(queries))
     assert len(got) == 7
     for q, res in zip(queries, got):
+        single = engine.scan(q)
+        assert res.scores == single.scores
+        assert res.reference_ids == single.reference_ids
+
+
+def test_engine_scan_batch_sharded(rng):
+    """Batched scans on a multi-chip mesh match single scans."""
+    from cudasw4_tpu.parallel.sharding import make_mesh
+
+    engine = SearchEngine(num_top=5, mesh=make_mesh())
+    engine.QB_MAX = 2
+    engine.set_database(_make_db(rng, n=120))
+    queries = [rng.integers(0, 20, size=int(q)) for q in (15, 40)]
+    batch = engine.scan_batch(queries)
+    for q, res in zip(queries, batch):
         single = engine.scan(q)
         assert res.scores == single.scores
         assert res.reference_ids == single.reference_ids
