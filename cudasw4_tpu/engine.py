@@ -543,6 +543,8 @@ class SearchEngine:
         ]
         assert len(group) <= self.QB_MAX
         assert all(len(c) <= sw_pallas_cell.QCAP_BATCH for c in group)
+        if self.streaming:
+            return self._scan_streaming_batch(group)
         t0 = time.perf_counter()
         vals, ids = self._dispatch_batch(group)
         return self._materialize_batch(vals, ids, group, t0)
@@ -559,7 +561,11 @@ class SearchEngine:
         from collections import deque
 
         pending = deque()  # ("single"|"batch", payload...)
-        batching = self._can_batch() and not self.state16
+        batching = (
+            self.backend == "pallas"
+            and self.packed is not None
+            and not self.state16
+        )
         shortbuf: list = []
 
         def materialize(entry):
@@ -594,13 +600,19 @@ class SearchEngine:
             ]
 
         def flush_shorts():
+            """Dispatch buffered short queries; returns finished results
+            (streaming mode runs synchronously — the DB streams through
+            host memory once per batch)."""
             if not shortbuf:
-                return
+                return []
             group = list(shortbuf)
             shortbuf.clear()
+            if self.streaming:
+                return self._scan_streaming_batch(group)
             t0 = time.perf_counter()
             vals, ids = self._dispatch_batch(group)
             pending.append(("batch", vals, ids, group, t0))
+            return []
 
         for sequence in sequences:
             codes = (
@@ -612,11 +624,11 @@ class SearchEngine:
             if batching and nq <= sw_pallas_cell.QCAP_BATCH:
                 shortbuf.append(codes)
                 if len(shortbuf) == self.QB_MAX:
-                    flush_shorts()
+                    yield from flush_shorts()
                     while len(pending) > window:
                         yield from materialize(pending.popleft())
                 continue
-            flush_shorts()
+            yield from flush_shorts()
             if self.streaming or nq > self.qcap:
                 while pending:
                     yield from materialize(pending.popleft())
@@ -636,7 +648,7 @@ class SearchEngine:
             pending.append(("single", vals, ids, nq, t0, qpad, params, codes))
             if len(pending) > window:
                 yield from materialize(pending.popleft())
-        flush_shorts()
+        yield from flush_shorts()
         while pending:
             yield from materialize(pending.popleft())
 
@@ -649,6 +661,138 @@ class SearchEngine:
             except Exception:
                 budget = 8 << 30
         return self.packed.total_padded_chars > budget
+
+    def _scan_streaming_batch(self, group):
+        """Stream the database ONCE for a batch of short queries.
+
+        For DBs beyond device memory the host->HBM transfer dominates;
+        scoring up to QB_MAX queries per streamed chunk divides it by the
+        batch size (the reference re-uploads per query when the DB
+        exceeds VRAM, cudasw4.cuh:1490+ — this is strictly better).
+        Returns a list of ScanResults in input order.
+        """
+        t0 = time.perf_counter()
+        QB = self.QB_MAX
+        qcap_b = sw_pallas_cell.QCAP_BATCH
+        queries = np.full((QB, qcap_b), UNKNOWN, dtype=np.int32)
+        qpad_full = np.full((QB, self.qcap), UNKNOWN, dtype=np.int32)
+        nqs = np.zeros(QB, np.int32)
+        pads = np.full(QB, 4, np.int32)
+        for i, c in enumerate(group):
+            queries[i, : len(c)] = c
+            qpad_full[i, : len(c)] = c
+            nqs[i] = len(c)
+            pads[i] = max(4, -(-len(c) // 4) * 4)
+        params = np.concatenate(
+            [
+                np.array([0, self.scoring.gop, self.scoring.gex, 0], np.int32),
+                nqs,
+                pads,
+            ]
+        )
+        pdev = jnp.asarray(params)
+        qb_dev = jnp.asarray(queries)
+        qfull_dev = jnp.asarray(qpad_full)
+        use_pallas = self.backend == "pallas"
+        per_scores: list[list] = [[] for _ in range(QB)]
+        id_parts: list[np.ndarray] = []
+        pending: list[tuple] = []
+
+        def drain(limit):
+            while len(pending) > limit:
+                s, sidx = pending.pop(0)
+                s = np.asarray(s)
+                ids = sidx.reshape(-1)
+                keep = ids >= 0
+                id_parts.append(ids[keep])
+                for qb in range(QB):
+                    per_scores[qb].append(s[qb].reshape(-1)[keep])
+
+        for b, chunk, sidx in self._stream_chunks():
+            xdev = jax.device_put(chunk)
+            kind = bucket_kind(b, nq_pad=int(pads.max()))
+            if use_pallas and kind == "cell":
+                s = sw_pallas_cell.score_bucket_pallas_cell_batch(
+                    xdev, qb_dev, self._matrix_flat, pdev
+                )
+            else:
+                rows = []
+                for qb in range(QB):
+                    pq = jnp.stack([
+                        pdev[4 + qb], pdev[1], pdev[2], pdev[4 + QB + qb],
+                    ])
+                    rows.append(
+                        score_bucket(
+                            xdev, qfull_dev[qb], self._matrix_flat,
+                            self._matrix_f32, pq, use_pallas, kind,
+                            exact=True,
+                        ).reshape(1, -1)
+                    )
+                s = jnp.concatenate(rows)
+            pending.append((s, sidx))
+            drain(2)
+        drain(0)
+
+        ids = (
+            np.concatenate(id_parts) if id_parts else np.zeros(0, np.int32)
+        )
+        k = self.results_per_query
+        seconds = time.perf_counter() - t0
+        db_chars = float(self.packed.total_real_chars)
+        total_cells = sum(len(c) for c in group) * db_chars
+        out = []
+        for i, c in enumerate(group):
+            scores = (
+                np.concatenate(per_scores[i])
+                if per_scores[i]
+                else np.zeros(0, np.float32)
+            )
+            if k == 0 or len(scores) == 0:
+                vals_i, ids_i = np.zeros(0, np.float32), np.zeros(0, np.int32)
+            else:
+                order = np.lexsort((ids, -scores))[:k]
+                vals_i, ids_i = scores[order], ids[order]
+            cells = float(len(c)) * db_chars
+            self._total_cells += cells
+            q_seconds = (
+                seconds * cells / total_cells if total_cells else seconds
+            )
+            out.append(
+                ScanResult(
+                    scores=[int(v) for v in vals_i],
+                    reference_ids=[int(r) for r in ids_i],
+                    stats=BenchmarkStats(
+                        seconds=q_seconds,
+                        gcups=(
+                            cells / 1e9 / q_seconds if q_seconds > 0 else 0.0
+                        ),
+                    ),
+                )
+            )
+        return out
+
+    def _stream_chunks(self):
+        """Yield (bucket, chunk_tiles, chunk_seq_index) with fixed chunk
+        shapes per bucket (padding the final partial chunk)."""
+        for b in self.packed.buckets:
+            bytes_per_tile = b.L * b.NS
+            ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
+            T = b.num_tiles
+            ct = min(ct, T)
+            for t0 in range(0, T, ct):
+                t1 = min(t0 + ct, T)
+                chunk = b.tiles[t0:t1]
+                sidx = b.seq_index[t0:t1]
+                if t1 - t0 < ct:
+                    pad = ct - (t1 - t0)
+                    chunk = np.concatenate(
+                        [chunk,
+                         np.full((pad,) + b.tiles.shape[1:], UNKNOWN, np.int8)]
+                    )
+                    sidx = np.concatenate(
+                        [sidx, np.full((pad, b.NS), -1, np.int32)]
+                    )
+                yield b, chunk, sidx
 
     def _scan_streaming(
         self, qpad, params, force_jnp: bool = False, codes=None,
@@ -672,31 +816,15 @@ class SearchEngine:
                 out_scores.append(s[keep])
                 out_ids.append(ids[keep])
 
-        for b in self.packed.buckets:
-            bytes_per_tile = b.L * b.NS
-            ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
-            T = b.num_tiles
-            ct = min(ct, T)
-            for t0 in range(0, T, ct):
-                t1 = min(t0 + ct, T)
-                chunk = b.tiles[t0:t1]
-                sidx = b.seq_index[t0:t1]
-                if t1 - t0 < ct:  # pad to the bucket's fixed chunk shape
-                    pad = ct - (t1 - t0)
-                    chunk = np.concatenate(
-                        [chunk, np.full((pad,) + b.tiles.shape[1:], UNKNOWN, np.int8)]
-                    )
-                    sidx = np.concatenate(
-                        [sidx, np.full((pad, b.NS), -1, np.int32)]
-                    )
-                xdev = jax.device_put(chunk)
-                s = score_bucket(
-                    xdev, qdev, self._matrix_flat, self._matrix_f32, pdev,
-                    use_pallas, bucket_kind(b, nq_pad=int(params[3])),
-                    exact=exact,
-                )
-                chunk_scores.append((s, sidx))
-                drain(2)  # keep two chunks in flight
+        for b, chunk, sidx in self._stream_chunks():
+            xdev = jax.device_put(chunk)
+            s = score_bucket(
+                xdev, qdev, self._matrix_flat, self._matrix_f32, pdev,
+                use_pallas, bucket_kind(b, nq_pad=int(params[3])),
+                exact=exact,
+            )
+            chunk_scores.append((s, sidx))
+            drain(2)  # keep two chunks in flight
         drain(0)
         scores = np.concatenate(out_scores) if out_scores else np.zeros(0, np.float32)
         ids = np.concatenate(out_ids) if out_ids else np.zeros(0, np.int32)

@@ -101,3 +101,21 @@ def test_engine_scan_batch_sharded(rng):
         single = engine.scan(q)
         assert res.scores == single.scores
         assert res.reference_ids == single.reference_ids
+
+
+def test_engine_scan_batch_streaming(rng):
+    """Streaming mode (DB beyond device memory) streams the DB once per
+    batch; results match resident single scans."""
+    db = _make_db(rng, n=200)
+    resident = SearchEngine(num_top=4)
+    resident.set_database(db)
+    streaming = SearchEngine(num_top=4, max_device_bytes=1024,
+                             stream_chunk_bytes=4096)
+    streaming.QB_MAX = 2
+    streaming.set_database(db)
+    assert streaming.streaming
+    queries = [rng.integers(0, 20, size=int(q)) for q in (20, 45)]
+    batch = streaming.scan_batch(queries)
+    for q, res in zip(queries, batch):
+        single = resident.scan(q)
+        assert res.scores == single.scores
