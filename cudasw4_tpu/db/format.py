@@ -177,6 +177,49 @@ def write_db_from_arrays(
             np.uint64(cur_head).tofile(fho)
 
 
+def _encoded_batches(input_path: str, chunk_chars: int = 64 << 20):
+    """Yield (chars int8 padded-x4, offsets, lengths, headers list[bytes])
+    batches of complete records — natively when the C++ reader is
+    available, else via the Python streaming reader."""
+    from ..native import get_lib, stream_fasta_native
+
+    if get_lib() is not None:
+        yield from stream_fasta_native(input_path, chunk_chars)
+        return
+
+    from ..constants import encode as _encode
+
+    bufs: list[np.ndarray] = []
+    offsets = [0]
+    lengths: list[int] = []
+    headers: list[bytes] = []
+    nbytes = 0
+    for rec in read_sequences(input_path):
+        seq = rec.sequence
+        padded = seq + " " * (pad_length(len(seq)) - len(seq))
+        raw = _encode(padded)
+        bufs.append(raw)
+        nbytes += len(raw)
+        offsets.append(offsets[-1] + len(raw))
+        lengths.append(len(seq))
+        headers.append(rec.header.encode("latin-1", errors="replace"))
+        if nbytes >= chunk_chars:
+            yield (
+                np.concatenate(bufs),
+                np.asarray(offsets, np.int64),
+                np.asarray(lengths, np.int32),
+                headers,
+            )
+            bufs, offsets, lengths, headers, nbytes = [], [0], [], [], 0
+    if lengths:
+        yield (
+            np.concatenate(bufs) if bufs else np.zeros(0, np.int8),
+            np.asarray(offsets, np.int64),
+            np.asarray(lengths, np.int32),
+            headers,
+        )
+
+
 def make_db_capped(
     input_path: str,
     prefix: str,
@@ -194,8 +237,6 @@ def make_db_capped(
     import os
     import tempfile
 
-    from ..constants import encode as _encode
-
     tempdir = tempdir or os.path.dirname(os.path.abspath(prefix))
     del mem_limit  # index is O(n); char data always spills in this mode
 
@@ -204,35 +245,22 @@ def make_db_capped(
         offsets = [0]
         lengths: list[int] = []
         hoffsets = [0]
-        buf: list[bytes] = []
-        hbuf: list[bytes] = []
-        buf_bytes = 0
-        for rec in read_sequences(input_path):
-            seq = rec.sequence
-            if len(seq) > MAX_SEQUENCE_LENGTH:
-                raise ValueError(
-                    f"sequence of length {len(seq)} exceeds maximum "
-                    f"{MAX_SEQUENCE_LENGTH}"
-                )
-            if len(lengths) >= MAX_SEQUENCES_IN_DB:
+        for bchars, boffs, blens, bheaders in _encoded_batches(input_path):
+            if blens.size and int(blens.max()) > MAX_SEQUENCE_LENGTH:
+                raise ValueError("sequence exceeds maximum length")
+            if len(lengths) + len(blens) > MAX_SEQUENCES_IN_DB:
                 raise ValueError(f"more than {MAX_SEQUENCES_IN_DB} sequences")
-            padded = seq + " " * (pad_length(len(seq)) - len(seq))
-            raw = _encode(padded).tobytes()
-            buf.append(raw)
-            buf_bytes += len(raw)
-            offsets.append(offsets[-1] + len(raw))
-            lengths.append(len(seq))
-            h = rec.header.encode("latin-1", errors="replace")
-            hbuf.append(h)
-            hoffsets.append(hoffsets[-1] + len(h))
-            if buf_bytes >= (64 << 20):
-                tc.write(b"".join(buf))
-                th.write(b"".join(hbuf))
-                buf, hbuf, buf_bytes = [], [], 0
-            if progress_every and len(lengths) % progress_every == 0:
+            tc.write(np.asarray(bchars, dtype=np.int8).tobytes())
+            base = offsets[-1]
+            offsets.extend(int(base + o) for o in boffs[1:])
+            lengths.extend(int(x) for x in blens)
+            th.write(b"".join(bheaders))
+            hb = hoffsets[-1]
+            for h in bheaders:
+                hb += len(h)
+                hoffsets.append(hb)
+            if progress_every and len(lengths) % progress_every < len(blens):
                 print(f"  parsed {len(lengths)} sequences ...", flush=True)
-        tc.write(b"".join(buf))
-        th.write(b"".join(hbuf))
         tc.flush()
         th.flush()
 

@@ -408,13 +408,6 @@ class SearchEngine:
     #: amortising the per-tile fixed costs that dominate short-query scans.
     QB_MAX = 8
 
-    def _can_batch(self) -> bool:
-        return (
-            self.backend == "pallas"
-            and not self.streaming
-            and self.packed is not None
-        )
-
     def _build_batch_scan_fn(self):
         kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
         use_pallas = self.backend == "pallas"

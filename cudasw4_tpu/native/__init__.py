@@ -69,6 +69,16 @@ def get_lib():
             "tpusw_headers", "tpusw_header_offsets", "tpusw_free_result",
         ):
             getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.tpusw_stream_open.restype = ctypes.c_void_p
+        lib.tpusw_stream_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.tpusw_stream_next.restype = ctypes.c_void_p
+        lib.tpusw_stream_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.tpusw_stream_close.restype = None
+        lib.tpusw_stream_close.argtypes = [ctypes.c_void_p]
         lib.tpusw_pack_bucket.restype = None
         lib.tpusw_pack_bucket.argtypes = [
             np.ctypeslib.ndpointer(np.int8, flags="C"),
@@ -115,6 +125,55 @@ def parse_fasta_native(path: str):
         return chars.astype(np.int8), offsets, lengths, headers
     finally:
         lib.tpusw_free_result(h)
+
+
+def _copy_batch(lib, h):
+    n = lib.tpusw_num_sequences(h)
+    nchars = lib.tpusw_num_chars(h)
+    hsize = lib.tpusw_headers_size(h)
+    chars = np.ctypeslib.as_array(lib.tpusw_chars(h), (max(nchars, 1),))[
+        :nchars
+    ].copy()
+    offsets = np.ctypeslib.as_array(lib.tpusw_offsets(h), (n + 1,)).copy()
+    lengths = np.ctypeslib.as_array(lib.tpusw_lengths(h), (max(n, 1),))[:n].copy()
+    hoffs = np.ctypeslib.as_array(lib.tpusw_header_offsets(h), (n + 1,)).copy()
+    hblob = ctypes.string_at(lib.tpusw_headers(h), hsize) if hsize else b""
+    headers = [hblob[int(hoffs[i]) : int(hoffs[i + 1])] for i in range(n)]
+    return chars.astype(np.int8), offsets, lengths, headers
+
+
+def stream_fasta_native(path: str, chunk_chars: int = 256 << 20):
+    """Generator of (chars, offsets, lengths, headers) batches, each
+    covering complete records totalling >= chunk_chars padded chars.
+    Yields nothing (and returns False via StopIteration value semantics)
+    if the native library is unavailable — callers should check
+    get_lib() first.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    errbuf = ctypes.create_string_buffer(512)
+    st = lib.tpusw_stream_open(path.encode(), errbuf, len(errbuf))
+    if not st:
+        raise ValueError(
+            f"native FASTA open failed: {errbuf.value.decode(errors='replace')}"
+        )
+    try:
+        while True:
+            h = lib.tpusw_stream_next(st, chunk_chars, errbuf, len(errbuf))
+            if not h:
+                if errbuf.value:
+                    raise ValueError(
+                        "native FASTA parse failed: "
+                        f"{errbuf.value.decode(errors='replace')}"
+                    )
+                return
+            try:
+                yield _copy_batch(lib, h)
+            finally:
+                lib.tpusw_free_result(h)
+    finally:
+        lib.tpusw_stream_close(st)
 
 
 def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS):

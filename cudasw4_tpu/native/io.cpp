@@ -65,29 +65,34 @@ struct ParseResult {
     Buf<int64_t> headerOffsets;  // n+1
 };
 
-}  // namespace
+struct StreamState {
+    gzFile f = nullptr;
+    std::string pending_header;  // header of the next (unstarted) record
+    bool has_pending = false;
+    bool pending_fastq = false;
+    bool eof = false;
+};
 
-extern "C" {
-
-// Opaque handle API so Python can copy the arrays into numpy and free once.
-void* tpusw_parse_fasta(const char* path, char* errbuf, int errlen) {
-    gzFile f = gzopen(path, "rb");
-    if (!f) {
-        snprintf(errbuf, errlen, "cannot open %s", path);
-        return nullptr;
-    }
-    gzbuffer(f, 1 << 20);
-
-    auto* res = new ParseResult();
-    res->offsets.push1(0);
-    res->headerOffsets.push1(0);
-
+// Parse records from f into res.  Stops at a record boundary once at
+// least max_chars padded chars were produced (max_chars < 0: parse all).
+// Returns false on a malformed input (errbuf filled).
+bool parse_records(gzFile f, StreamState* st, ParseResult* res,
+                   int64_t max_chars, char* errbuf, int errlen) {
     std::vector<char> line(1 << 16);
     std::string seq;
     seq.reserve(1 << 16);
     bool have_record = false;
     bool fastq = false;
     int64_t qual_needed = 0;
+
+    if (st && st->has_pending) {
+        res->headers.push(st->pending_header.data(),
+                          (int64_t)st->pending_header.size());
+        res->headerOffsets.push1(res->headers.size);
+        have_record = true;
+        fastq = st->pending_fastq;
+        st->has_pending = false;
+    }
 
     auto flush_record = [&]() {
         if (!have_record) return;
@@ -128,6 +133,13 @@ void* tpusw_parse_fasta(const char* path, char* errbuf, int errlen) {
         char lead = full[0];
         if (lead == '>' || lead == '@') {
             flush_record();
+            if (st && max_chars >= 0 && res->chars.size >= max_chars) {
+                // Budget reached: park this header for the next call.
+                st->pending_header.assign(full.data() + 1, full.size() - 1);
+                st->pending_fastq = (lead == '@');
+                st->has_pending = true;
+                return true;
+            }
             res->headers.push(full.data() + 1, (int64_t)full.size() - 1);
             res->headerOffsets.push1(res->headers.size);
             have_record = true;
@@ -141,16 +153,86 @@ void* tpusw_parse_fasta(const char* path, char* errbuf, int errlen) {
         } else {
             if (!have_record) {
                 snprintf(errbuf, errlen, "sequence data before first header");
-                gzclose(f);
-                delete res;
-                return nullptr;
+                return false;
             }
             seq.append(full);
         }
     }
     flush_record();
+    if (st) st->eof = true;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+void tpusw_free_result(void* h);
+
+// Opaque handle API so Python can copy the arrays into numpy and free once.
+void* tpusw_parse_fasta(const char* path, char* errbuf, int errlen) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        snprintf(errbuf, errlen, "cannot open %s", path);
+        return nullptr;
+    }
+    gzbuffer(f, 1 << 20);
+
+    auto* res = new ParseResult();
+    res->offsets.push1(0);
+    res->headerOffsets.push1(0);
+    if (!parse_records(f, nullptr, res, -1, errbuf, errlen)) {
+        gzclose(f);
+        delete res;
+        return nullptr;
+    }
     gzclose(f);
     return res;
+}
+
+// ----- Streaming variant: bounded-memory parse for huge inputs -----
+// (the reference parses into FileBackedUVectors for the same reason,
+// /root/reference/src/makedb.cpp:80-133)
+
+void* tpusw_stream_open(const char* path, char* errbuf, int errlen) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        snprintf(errbuf, errlen, "cannot open %s", path);
+        return nullptr;
+    }
+    gzbuffer(f, 1 << 20);
+    auto* st = new StreamState();
+    st->f = f;
+    return st;
+}
+
+// Parse the next batch of complete records totalling >= max_chars padded
+// chars (or until EOF).  Returns a result handle (use the tpusw_* batch
+// accessors + tpusw_free_result), or nullptr at EOF / on error
+// (errbuf[0] != 0 distinguishes the error case).
+void* tpusw_stream_next(void* handle, int64_t max_chars, char* errbuf,
+                        int errlen) {
+    auto* st = (StreamState*)handle;
+    errbuf[0] = 0;
+    if (st->eof && !st->has_pending) return nullptr;
+    auto* res = new ParseResult();
+    res->offsets.push1(0);
+    res->headerOffsets.push1(0);
+    if (!parse_records(st->f, st, res, max_chars, errbuf, errlen)) {
+        delete res;
+        return nullptr;
+    }
+    if (res->lengths.size == 0) {
+        tpusw_free_result(res);
+        return nullptr;
+    }
+    return res;
+}
+
+void tpusw_stream_close(void* handle) {
+    auto* st = (StreamState*)handle;
+    if (st->f) gzclose(st->f);
+    delete st;
 }
 
 int64_t tpusw_num_sequences(void* h) { return ((ParseResult*)h)->lengths.size; }

@@ -101,3 +101,33 @@ def test_pack_bucket_native_matches_python(tmp_path, rng):
         assert np.array_equal(x.tiles, y.tiles)
         assert np.array_equal(x.seq_index, y.seq_index)
         assert np.array_equal(x.lengths, y.lengths)
+
+
+def test_stream_fasta_native_batches(tmp_path, rng):
+    """Streaming parse in small batches == whole-file parse."""
+    import pytest
+
+    from cudasw4_tpu.native import get_lib, parse_fasta_native, stream_fasta_native
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    fa = tmp_path / "s.fa"
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    with open(fa, "w") as f:
+        for i in range(37):
+            ln = int(rng.integers(3, 90))
+            f.write(f">h{i} x\n")
+            seq = "".join(aas[c] for c in rng.integers(0, 20, ln))
+            for s in range(0, ln, 17):
+                f.write(seq[s:s+17] + "\n")
+    whole = parse_fasta_native(str(fa))
+    chars_w, offs_w, lens_w, hdrs_w = whole
+
+    chars_p, lens_p, hdrs_p = [], [], []
+    for bc, bo, bl, bh in stream_fasta_native(str(fa), chunk_chars=200):
+        chars_p.append(bc)
+        lens_p.extend(bl)
+        hdrs_p.extend(bh)
+    assert np.array_equal(np.concatenate(chars_p), chars_w)
+    assert list(lens_p) == list(lens_w)
+    assert hdrs_p == hdrs_w
