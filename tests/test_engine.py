@@ -160,3 +160,23 @@ def test_streaming_long_query(rng):
     assert engine.streaming
     result = engine.scan("W" * 100)
     assert len(result.scores) == 2
+
+
+def test_empty_database(rng):
+    """Zero-sequence DB: scans return empty results without errors."""
+    from cudasw4_tpu.db.format import DBData
+    from cudasw4_tpu.engine import SearchEngine
+    import numpy as np
+
+    db = DBData(
+        chars=np.zeros(0, np.int8),
+        offsets=np.zeros(1, np.uint64),
+        lengths=np.zeros(0, np.int32),
+        headers=np.zeros(0, np.uint8),
+        header_offsets=np.zeros(1, np.uint64),
+    )
+    engine = SearchEngine(num_top=10)
+    engine.set_database(db)
+    res = engine.scan("ARNDC")
+    assert res.scores == [] and res.reference_ids == []
+    assert list(engine.scan_many(["ARNDC", "WWYV"]))[1].scores == []
