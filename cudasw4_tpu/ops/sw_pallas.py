@@ -22,7 +22,7 @@ whose only cross-lane dependency is an exact max-scan:
   compare/select ops (no gathers anywhere), then indexed by the prefetched
   query character each step — the TPU replacement for the reference's
   shared-memory pairwise BLOSUM cache (half2_kernels.cuh:57-65).
-* Scores are fp32 lanes: integer-exact to 2^24, so there is no overflow
+* Scores are int32 lanes: exact for all score ranges, so there is no overflow
   escalation pass to manage (the reference needs one for its 16-bit SIMD
   lanes; an int16 double-rate path can reintroduce it later as a pure
   optimisation).

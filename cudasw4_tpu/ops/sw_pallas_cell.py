@@ -26,9 +26,12 @@ and pays an exclusive-cummax scan over the subject axis every step — about
 * The inner j loop is unrolled by U so one VMEM access moves [U, G, NSL]
   slabs and the scalar core's address arithmetic is amortised.
 
-Scores are int32 lanes: exact for all score ranges (the reference's
-dpx_s32/float semantics, /root/reference/src/dpx_s32_kernels.cuh), so no
-overflow escalation pass is needed.
+DP state defaults to int32 lanes: exact for all score ranges (the
+reference's dpx_s32/float semantics,
+/root/reference/src/dpx_s32_kernels.cuh).  An int16-state mode with SAT
+saturation + exact re-scan escalation (the reference's dpx_s16 +
+MAX_ACC_SHORT model) is available via ``exact=False`` but measured slower
+on v5e (docs/PERFORMANCE.md).
 
 VMEM budget per tile geometry (L, 32, 128): X = 4096*L bytes, LUT = 21x,
 H/F row state = 2*4L*4096 bytes.  L=256 -> ~31 MB; L=512 -> ~62 MB, inside
