@@ -312,6 +312,9 @@ def score_bucket_pallas_cell(
     T, L, g, nsl = tiles.shape
     assert g % G == 0 and nsl % NSL == 0, (g, nsl)
     assert L % unroll == 0, (L, unroll)
+    # unroll=1 trips the Mosaic replicated-layout phi bug (a 1-element
+    # jnp.stack folds to a splat); production never uses it.
+    assert unroll >= 2, unroll
     state_dtype = jnp.int32 if exact else jnp.int16
     state_bytes = 4 if exact else 2
 

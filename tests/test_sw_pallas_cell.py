@@ -37,7 +37,7 @@ def _run_kernel(query, subjects, cfg, L, T, qcap=128, unroll=4):
     return np.asarray(out).reshape(-1)[: len(subjects)]
 
 
-@pytest.mark.parametrize("unroll", [1, 4])
+@pytest.mark.parametrize("unroll", [2, 4])
 def test_cell_kernel_matches_oracle(rng, unroll):
     cfg = make_scoring_config("blosum62")
     L = 32
