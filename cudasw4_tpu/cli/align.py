@@ -232,7 +232,10 @@ def run(argv=None) -> int:
         except LoadDBError as ex:
             print(f"Failed to load db: {ex}")
             return 1
-    engine.set_database(db)
+    # Sidecar tile cache next to the db files: pack once, load on
+    # subsequent runs/processes (off for pseudo DBs).
+    cache = opts["db"] + "0.tpupack.npz" if opts["db"] else None
+    engine.set_database(db, pack_cache=cache)
 
     if opts["verbose"]:
         engine.print_db_info()

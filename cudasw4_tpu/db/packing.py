@@ -21,6 +21,7 @@ the analog of the reference's 34 template instantiations.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -272,6 +273,66 @@ def pack_db(
         num_sequences=n,
         total_real_chars=int(lengths.sum()),
     )
+
+
+#: Bump when tile layout / bucket selection changes so stale sidecar
+#: caches are ignored.
+PACK_FORMAT_VERSION = 3
+
+
+def save_packed(packed: PackedDB, path: str) -> None:
+    """Serialize a PackedDB to an .npz sidecar (uncompressed: int8 tiles
+    barely compress and load speed is the point)."""
+    arrays = {
+        "meta": np.array(
+            [PACK_FORMAT_VERSION, packed.num_sequences,
+             packed.total_real_chars, len(packed.buckets)],
+            dtype=np.int64,
+        ),
+    }
+    for i, b in enumerate(packed.buckets):
+        arrays[f"b{i}_tiles"] = b.tiles
+        arrays[f"b{i}_idx"] = b.seq_index
+        arrays[f"b{i}_len"] = b.lengths
+        arrays[f"b{i}_info"] = np.array(
+            [b.L, b.NS, {"row": 0, "cell": 1, "col": 2}[b.kernel]], np.int64
+        )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_packed(path: str, expect_sequences: int, expect_chars: int):
+    """Load a sidecar written by save_packed; returns None if missing or
+    stale (version or database shape mismatch)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        ver, nseq, nchars, nb = (int(x) for x in z["meta"])
+        if (
+            ver != PACK_FORMAT_VERSION
+            or nseq != expect_sequences
+            or nchars != expect_chars
+        ):
+            return None
+        kernels = {0: "row", 1: "cell", 2: "col"}
+        buckets = []
+        for i in range(nb):
+            L, NS, kk = (int(x) for x in z[f"b{i}_info"])
+            buckets.append(
+                PackedBucket(
+                    L=L, NS=NS, tiles=z[f"b{i}_tiles"],
+                    seq_index=z[f"b{i}_idx"], lengths=z[f"b{i}_len"],
+                    kernel=kernels[kk],
+                )
+            )
+        return PackedDB(
+            buckets=buckets, num_sequences=nseq, total_real_chars=nchars
+        )
+    except Exception:
+        return None
 
 
 def unpack_tile_sequences(bucket: PackedBucket, tile: int) -> list[np.ndarray]:

@@ -116,11 +116,31 @@ class SearchEngine:
 
     # ------------------------------------------------------------------ DB
 
-    def set_database(self, db: DBData) -> None:
+    def set_database(self, db: DBData, pack_cache: str | None = None) -> None:
+        """Pack and make the database resident.  ``pack_cache``: optional
+        sidecar path — packed tiles load from it when fresh and are saved
+        to it after packing (pack once per database, not per process)."""
         t0 = time.perf_counter()
         self.db = db
         self._batch_scan_fn = None
-        self.packed = pack_db(db, edges=self.bucket_edges)
+        self.packed = None
+        if pack_cache:
+            from .db.packing import load_packed
+
+            self.packed = load_packed(
+                pack_cache, db.num_sequences, int(np.sum(db.lengths))
+            )
+            if self.packed is not None and self.verbose:
+                print(f"Loaded packed tiles from {pack_cache}")
+        if self.packed is None:
+            self.packed = pack_db(db, edges=self.bucket_edges)
+            if pack_cache:
+                from .db.packing import save_packed
+
+                try:
+                    save_packed(self.packed, pack_cache)
+                except OSError:
+                    pass  # read-only db dir: packing cache is best-effort
         self._matrix_flat = jnp.asarray(
             self.scoring.matrix.astype(np.int32).reshape(-1)
         )

@@ -184,3 +184,62 @@ def test_pack_long_sequences():
     assert len(seqs) == 2
     assert np.array_equal(seqs[0], db.get_sequence(1))
     assert np.array_equal(seqs[1], db.get_sequence(2))
+
+
+def test_packed_sidecar_roundtrip(tmp_path, rng):
+    """save_packed/load_packed reproduce the PackedDB exactly and reject
+    stale caches."""
+    from cudasw4_tpu.db.format import DBData
+    from cudasw4_tpu.db.packing import load_packed, pack_db, save_packed
+
+    lengths = np.sort(rng.integers(8, 700, size=120)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), UNKNOWN, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]): int(offsets[i]) + ln] = rng.integers(0, 20, ln)
+    db = DBData(chars=chars, offsets=offsets, lengths=lengths,
+                headers=np.zeros(0, np.uint8),
+                header_offsets=np.zeros(len(lengths) + 1, np.uint64))
+    packed = pack_db(db)
+    path = str(tmp_path / "tiles.npz")
+    save_packed(packed, path)
+    loaded = load_packed(path, db.num_sequences, int(lengths.sum()))
+    assert loaded is not None
+    assert len(loaded.buckets) == len(packed.buckets)
+    for a, b in zip(packed.buckets, loaded.buckets):
+        assert (a.L, a.NS, a.kernel) == (b.L, b.NS, b.kernel)
+        assert np.array_equal(a.tiles, b.tiles)
+        assert np.array_equal(a.seq_index, b.seq_index)
+        assert np.array_equal(a.lengths, b.lengths)
+    # stale: different database shape
+    assert load_packed(path, db.num_sequences + 1, int(lengths.sum())) is None
+
+
+def test_engine_pack_cache(tmp_path, rng):
+    from cudasw4_tpu.db.format import DBData
+    from cudasw4_tpu.engine import SearchEngine
+
+    lengths = np.sort(rng.integers(8, 120, size=60)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), UNKNOWN, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]): int(offsets[i]) + ln] = rng.integers(0, 20, ln)
+    hdr = b"".join(f"s{i}\n".encode() for i in range(60))
+    hoffs = np.cumsum([0] + [len(f"s{i}\n") for i in range(60)]).astype(np.uint64)
+    db = DBData(chars=chars, offsets=offsets, lengths=lengths,
+                headers=np.frombuffer(hdr, np.uint8), header_offsets=hoffs)
+    import os
+
+    cache = str(tmp_path / "c.npz")
+    e1 = SearchEngine(num_top=3)
+    e1.set_database(db, pack_cache=cache)
+    assert os.path.exists(cache)
+    e2 = SearchEngine(num_top=3)
+    e2.set_database(db, pack_cache=cache)  # loads from the sidecar
+    # same query through both engines must match exactly
+    q = rng.integers(0, 20, 33)
+    r1, r2 = e1.scan(q), e2.scan(q)
+    assert r1.scores == r2.scores
+    assert r1.reference_ids == r2.reference_ids
