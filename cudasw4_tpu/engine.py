@@ -491,9 +491,14 @@ class SearchEngine:
 
     def _dispatch_batch(self, group):
         """Dispatch up to QB_MAX short queries; returns device handles."""
+        QB = self.QB_MAX
+        if not self.packed.buckets:  # empty database
+            return (
+                np.zeros((QB, 0), np.float32),
+                np.zeros((QB, 0), np.int32),
+            )
         if getattr(self, "_batch_scan_fn", None) is None:
             self._batch_scan_fn = self._build_batch_scan_fn()
-        QB = self.QB_MAX
         qcap_b = sw_pallas_cell.QCAP_BATCH
         queries = np.full((QB, qcap_b), UNKNOWN, dtype=np.int32)
         qpad_full = np.full((QB, self.qcap), UNKNOWN, dtype=np.int32)
