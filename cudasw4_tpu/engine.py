@@ -47,7 +47,7 @@ from .constants import UNKNOWN, encode
 from .db.format import DBData
 from .db.packing import PackedDB, pack_db
 from .ops import bucket_kind, score_bucket, sw_pallas, sw_pallas_cell, sw_pallas_col
-from .ops.sw_jax import score_tiles_jnp
+
 from .substitution import ScoringConfig, make_scoring_config
 
 

@@ -18,7 +18,6 @@ gets the same tile count per bucket (padding tiles are scored but masked).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
