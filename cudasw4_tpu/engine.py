@@ -561,9 +561,10 @@ class SearchEngine:
             for s in sequences
         ]
         assert len(group) <= self.QB_MAX
-        assert all(len(c) <= sw_pallas_cell.QCAP_BATCH for c in group)
         if self.streaming:
+            assert all(len(c) <= self.qcap for c in group)
             return self._scan_streaming_batch(group)
+        assert all(len(c) <= sw_pallas_cell.QCAP_BATCH for c in group)
         t0 = time.perf_counter()
         vals, ids = self._dispatch_batch(group)
         return self._materialize_batch(vals, ids, group, t0)
@@ -640,7 +641,10 @@ class SearchEngine:
                 else np.asarray(sequence, np.int8)
             )
             nq = len(codes)
-            if batching and nq <= sw_pallas_cell.QCAP_BATCH:
+            batchable = nq <= (
+                self.qcap if self.streaming else sw_pallas_cell.QCAP_BATCH
+            )
+            if batching and batchable:
                 shortbuf.append(codes)
                 if len(shortbuf) == self.QB_MAX:
                     yield from flush_shorts()
@@ -693,62 +697,87 @@ class SearchEngine:
         t0 = time.perf_counter()
         QB = self.QB_MAX
         qcap_b = sw_pallas_cell.QCAP_BATCH
+        n = len(group)
+        gop, gex = self.scoring.gop, self.scoring.gex
+        # Queries up to QCAP_BATCH share the multi-query batch kernel;
+        # longer ones ride the same streamed chunk with per-query kernel
+        # calls — either way the DB transfers once per batch, not per
+        # query (that was ~5x the cost on long-query benchmark sets).
+        shorts = [i for i, c in enumerate(group) if len(c) <= qcap_b]
+        longs = [i for i, c in enumerate(group) if len(c) > qcap_b]
+
         queries = np.full((QB, qcap_b), UNKNOWN, dtype=np.int32)
-        qpad_full = np.full((QB, self.qcap), UNKNOWN, dtype=np.int32)
-        nqs = np.zeros(QB, np.int32)
-        pads = np.full(QB, 4, np.int32)
-        for i, c in enumerate(group):
-            queries[i, : len(c)] = c
-            qpad_full[i, : len(c)] = c
-            nqs[i] = len(c)
-            pads[i] = max(4, -(-len(c) // 4) * 4)
-        params = np.concatenate(
-            [
-                np.array([0, self.scoring.gop, self.scoring.gex, 0], np.int32),
-                nqs,
-                pads,
-            ]
+        nqs_b = np.zeros(QB, np.int32)
+        pads_b = np.full(QB, 4, np.int32)
+        for slot, i in enumerate(shorts):
+            c = group[i]
+            queries[slot, : len(c)] = c
+            nqs_b[slot] = len(c)
+            pads_b[slot] = max(4, -(-len(c) // 4) * 4)
+        params_b = np.concatenate(
+            [np.array([0, gop, gex, 0], np.int32), nqs_b, pads_b]
         )
-        pdev = jnp.asarray(params)
+        pdev = jnp.asarray(params_b)
         qb_dev = jnp.asarray(queries)
+        qpad_full = np.full((n, self.qcap), UNKNOWN, dtype=np.int32)
+        for i, c in enumerate(group):
+            qpad_full[i, : len(c)] = c
         qfull_dev = jnp.asarray(qpad_full)
         use_pallas = self.backend == "pallas"
-        per_scores: list[list] = [[] for _ in range(QB)]
+        per_scores: list[list] = [[] for _ in range(n)]
         id_parts: list[np.ndarray] = []
         pending: list[tuple] = []
 
         def drain(limit):
             while len(pending) > limit:
-                s, sidx = pending.pop(0)
-                s = np.asarray(s)
+                rows, sidx = pending.pop(0)
                 ids = sidx.reshape(-1)
                 keep = ids >= 0
                 id_parts.append(ids[keep])
-                for qb in range(QB):
-                    per_scores[qb].append(s[qb].reshape(-1)[keep])
+                for i in range(n):
+                    per_scores[i].append(
+                        np.asarray(rows[i]).reshape(-1)[keep]
+                    )
+
+        def score_one(xdev, b, i):
+            c = group[i]
+            nq_pad = max(4, -(-len(c) // 4) * 4)
+            kind = bucket_kind(b, nq_pad=nq_pad)
+            if (
+                use_pallas
+                and b.kernel == "col"
+                and nq_pad > sw_pallas_col.NQC
+            ):
+                # Long query on a long-subject bucket: chunk the query
+                # with HBM boundary carry instead of the portable scorer.
+                return sw_pallas_col.score_bucket_col_any_query(
+                    xdev, c, self._matrix_flat, gop, gex
+                )
+            pq = jnp.asarray(
+                np.array([len(c), gop, gex, nq_pad], np.int32)
+            )
+            return score_bucket(
+                xdev, qfull_dev[i], self._matrix_flat, self._matrix_f32,
+                pq, use_pallas, kind, exact=True,
+            )
 
         for b, chunk, sidx in self._stream_chunks():
             xdev = jax.device_put(chunk)
-            kind = bucket_kind(b, nq_pad=int(pads.max()))
-            if use_pallas and kind == "cell":
-                s = sw_pallas_cell.score_bucket_pallas_cell_batch(
-                    xdev, qb_dev, self._matrix_flat, pdev
-                )
-            else:
-                rows = []
-                for qb in range(QB):
-                    pq = jnp.stack([
-                        pdev[4 + qb], pdev[1], pdev[2], pdev[4 + QB + qb],
-                    ])
-                    rows.append(
-                        score_bucket(
-                            xdev, qfull_dev[qb], self._matrix_flat,
-                            self._matrix_f32, pq, use_pallas, kind,
-                            exact=True,
-                        ).reshape(1, -1)
+            rows: list = [None] * n
+            if shorts:
+                kind = bucket_kind(b, nq_pad=int(pads_b.max()))
+                if use_pallas and kind == "cell":
+                    sb = sw_pallas_cell.score_bucket_pallas_cell_batch(
+                        xdev, qb_dev, self._matrix_flat, pdev
                     )
-                s = jnp.concatenate(rows)
-            pending.append((s, sidx))
+                    for slot, i in enumerate(shorts):
+                        rows[i] = sb[slot]
+                else:
+                    for i in shorts:
+                        rows[i] = score_one(xdev, b, i)
+            for i in longs:
+                rows[i] = score_one(xdev, b, i)
+            pending.append((rows, sidx))
             drain(2)
         drain(0)
 

@@ -119,3 +119,28 @@ def test_engine_scan_batch_streaming(rng):
     for q, res in zip(queries, batch):
         single = resident.scan(q)
         assert res.scores == single.scores
+
+
+def test_engine_scan_batch_streaming_mixed_lengths(rng):
+    """Streaming batches accept queries beyond the batch-kernel cap: long
+    queries share the streamed chunks via per-query calls."""
+    from cudasw4_tpu.ops import sw_pallas_cell
+
+    db = _make_db(rng, n=150)
+    resident = SearchEngine(num_top=4)
+    resident.set_database(db)
+    streaming = SearchEngine(num_top=4, max_device_bytes=1024,
+                             stream_chunk_bytes=4096)
+    streaming.QB_MAX = 3
+    streaming.set_database(db)
+    assert streaming.streaming
+    long_len = sw_pallas_cell.QCAP_BATCH + 40
+    queries = [
+        rng.integers(0, 20, size=25),
+        rng.integers(0, 20, size=long_len),
+        rng.integers(0, 20, size=60),
+    ]
+    batch = streaming.scan_batch(queries)
+    for q, res in zip(queries, batch):
+        single = resident.scan(q)
+        assert res.scores == single.scores
