@@ -60,8 +60,9 @@ CELL_MAX_L = 512
 #: cell kernel at L<=512; ~165/58 for the column kernel at L>=640); used
 #: to pick the layout that maximises *effective* throughput after padding
 #: waste (a bucket with few sequences wastes most of a 4096-subject tile).
-CELL_SPEEDUP = 1.75
-COL_SPEEDUP = 2.8
+#: Override per TPU generation with the env vars after a gridsearch run.
+CELL_SPEEDUP = float(os.environ.get("CUDASW4_TPU_CELL_SPEEDUP", 1.75))
+COL_SPEEDUP = float(os.environ.get("CUDASW4_TPU_COL_SPEEDUP", 2.8))
 #: Relative speed of the portable-XLA fallback used by row-layout buckets
 #: longer than MAX_SINGLE_PASS.
 JNP_REL_SPEED = 0.05
