@@ -145,16 +145,27 @@ class SearchEngine:
             self.scoring.matrix.astype(np.int32).reshape(-1)
         )
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
-        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
-            self._scan_fn = self._build_sharded_scan_fn()
-        elif self._db_exceeds_device_memory():
-            # DBs beyond device memory stream host->HBM per scan, the analog
-            # of the reference's batched copy pipeline (cudasw4.cuh:1490+,
-            # double-buffered via XLA async dispatch).
+        self._stream_fns = {}
+        ndev = self._mesh_ndev()
+        if self._db_exceeds_device_memory(ndev):
+            # DBs beyond (per-chip budget x mesh size) stream host->HBM per
+            # scan, the analog of the reference's batched copy pipeline
+            # (cudasw4.cuh:1490+, double-buffered via XLA async dispatch).
+            # On a mesh each streamed chunk's tile axis is sharded, so every
+            # chip scores its slice of every chunk — the trembl-scale
+            # configuration (DB >> aggregate HBM).
             self.streaming = True
             self._scan_fn = None
+            if ndev > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self._chunk_sharding = NamedSharding(
+                    self.mesh, PartitionSpec(self.mesh.axis_names[0])
+                )
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")
+        elif ndev > 1:
+            self._scan_fn = self._build_sharded_scan_fn()
         else:
             self._bucket_tiles = [jnp.asarray(b.tiles) for b in self.packed.buckets]
             # Slot -> global reference id map, concatenated in bucket order.
@@ -262,6 +273,8 @@ class SearchEngine:
                         self._matrix_flat, self._matrix_f32, exact=exact,
                     )
                 )
+                from .ops import INTERPRET
+
                 parts = []
                 for tiles, kd in zip(self._bucket_tiles, kinds):
                     if kd == "col":
@@ -269,7 +282,7 @@ class SearchEngine:
                             sw_pallas_col.score_bucket_col_any_query(
                                 tiles, codes, self._matrix_flat,
                                 self.scoring.gop, self.scoring.gex,
-                                exact=exact,
+                                exact=exact, interpret=INTERPRET,
                             ).reshape(-1)
                         )
                     else:
@@ -305,17 +318,35 @@ class SearchEngine:
         fns = {}
 
         def run(qpad, params, codes=None, exact=False):
-            # Col buckets degrade to the portable scorer for queries
-            # beyond the column kernel's row capacity (chunked carry
-            # across shard_map is not wired up yet).
-            key = (
-                use_pallas and int(params[3]) <= sw_pallas_col.NQC,
-                exact,
-            )
-            if key not in fns:
-                kds = kinds if key[0] else tuple(
-                    "jnp" if kd == "col" else kd for kd in kinds
+            nq = int(params[0])
+            # Cell/row kernels hold the query in SMEM (capacity qcap);
+            # beyond that those buckets take the portable scorer.  Col
+            # buckets never degrade: queries beyond the column kernel's
+            # row capacity chunk with shard-local H/F boundary carry.
+            kds = kinds
+            if nq > self.qcap:
+                kds = tuple(
+                    "jnp" if kd in ("cell", "row") else kd for kd in kinds
                 )
+            if (
+                use_pallas
+                and int(params[3]) > sw_pallas_col.NQC
+                and any(kd == "col" for kd in kds)
+            ):
+                qchunks, pcs = sh.make_query_chunks(
+                    codes, self.scoring.gop, self.scoring.gex
+                )
+                key = ("chunked", len(qchunks), kds, exact)
+                if key not in fns:
+                    fns[key] = sh.build_sharded_scan_chunked(
+                        mesh, kds, use_pallas, k, len(qchunks), exact=exact
+                    )
+                return fns[key](
+                    qchunks, pcs, qpad, params, tiles, seq_idx,
+                    self._matrix_flat, self._matrix_f32,
+                )
+            key = (kds, exact)
+            if key not in fns:
                 fns[key] = sh.build_sharded_scan(
                     mesh, kds, use_pallas, k, exact=exact
                 )
@@ -332,6 +363,15 @@ class SearchEngine:
             raise RuntimeError("set_database() must be called before scan()")
         codes = encode(sequence) if isinstance(sequence, (str, bytes)) else np.asarray(sequence, np.int8)
         nq = len(codes)
+        if self.streaming:
+            # Streaming scans share the batched streaming pipeline (one
+            # entry point for any query length; always exact int32 state —
+            # streaming is transfer-bound, so the int16 experiment would
+            # only add a second full DB stream on overflow).
+            result = self._scan_streaming_batch([codes])[0]
+            if self.debug_check:
+                self._debug_check_result(codes, result)
+            return result
         if nq > self.qcap:
             # Queries longer than the kernel's SMEM-resident capacity take
             # the portable XLA path (any length, tile-chunked memory) — the
@@ -345,37 +385,26 @@ class SearchEngine:
         )
         t0 = time.perf_counter()
         overflows = 0
-        if self.streaming:
-            vals, ids = self._scan_streaming(
-                qpad, params, codes=codes, exact=not self.state16
-            )
-            if self._has_overflow(vals):
-                overflows = int((vals >= sw_pallas_cell.SAT).sum())
-                vals, ids = self._scan_streaming(
-                    qpad, params, codes=codes, exact=True
-                )
-            seconds = time.perf_counter() - t0
-        else:
+        vals, ids = self._scan_fn(
+            qpad, params, codes=codes, exact=not self.state16
+        )
+        # Materialize to host before stopping the clock: on tunneled
+        # platforms block_until_ready returns before execution finishes.
+        vals = np.asarray(vals)
+        ids = np.asarray(ids)
+        if self._has_overflow(vals):
+            # 16-bit DP state saturated somewhere: re-scan with exact
+            # int32 state (the reference's overflow escalation,
+            # cudasw4.cuh:2117-2186 — ours re-runs the whole scan
+            # because overflows are rare and the exact path is only
+            # ~1.6x slower).
+            overflows = int((vals >= sw_pallas_cell.SAT).sum())
             vals, ids = self._scan_fn(
-                qpad, params, codes=codes, exact=not self.state16
+                qpad, params, codes=codes, exact=True
             )
-            # Materialize to host before stopping the clock: on tunneled
-            # platforms block_until_ready returns before execution finishes.
             vals = np.asarray(vals)
             ids = np.asarray(ids)
-            if self._has_overflow(vals):
-                # 16-bit DP state saturated somewhere: re-scan with exact
-                # int32 state (the reference's overflow escalation,
-                # cudasw4.cuh:2117-2186 — ours re-runs the whole scan
-                # because overflows are rare and the exact path is only
-                # ~1.6x slower).
-                overflows = int((vals >= sw_pallas_cell.SAT).sum())
-                vals, ids = self._scan_fn(
-                    qpad, params, codes=codes, exact=True
-                )
-                vals = np.asarray(vals)
-                ids = np.asarray(ids)
-            seconds = time.perf_counter() - t0
+        seconds = time.perf_counter() - t0
         k = self.results_per_query
         vals, ids = vals[:k], ids[:k]
         cells = float(nq) * float(self.packed.total_real_chars)
@@ -451,6 +480,8 @@ class SearchEngine:
 
             return run_sharded
 
+        from .ops import INTERPRET
+
         @jax.jit
         def batch_fn(queries, qpad_full, params, bucket_tiles, valid,
                      flat_idx, mat_flat, mat_f32):
@@ -458,7 +489,8 @@ class SearchEngine:
             for tiles, kind in zip(bucket_tiles, kinds):
                 if use_pallas and kind == "cell":
                     s = sw_pallas_cell.score_bucket_pallas_cell_batch(
-                        tiles, queries, mat_flat, params
+                        tiles, queries, mat_flat, params,
+                        interpret=INTERPRET,
                     )
                     for qb in range(QB):
                         per_qb[qb].append(s[qb].reshape(-1))
@@ -554,15 +586,16 @@ class SearchEngine:
         return out
 
     def scan_batch(self, sequences) -> list[ScanResult]:
-        """Scan up to QB_MAX queries of length <= QCAP_BATCH in one fused
-        pass (synchronous); returns results in input order."""
+        """Scan up to QB_MAX queries in one fused pass (synchronous);
+        returns results in input order.  Resident DBs require lengths
+        <= QCAP_BATCH (the batch kernel's SMEM query block); streaming
+        DBs take any length (long queries ride the same streamed chunks)."""
         group = [
             encode(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.int8)
             for s in sequences
         ]
         assert len(group) <= self.QB_MAX
         if self.streaming:
-            assert all(len(c) <= self.qcap for c in group)
             return self._scan_streaming_batch(group)
         assert all(len(c) <= sw_pallas_cell.QCAP_BATCH for c in group)
         t0 = time.perf_counter()
@@ -641,9 +674,7 @@ class SearchEngine:
                 else np.asarray(sequence, np.int8)
             )
             nq = len(codes)
-            batchable = nq <= (
-                self.qcap if self.streaming else sw_pallas_cell.QCAP_BATCH
-            )
+            batchable = self.streaming or nq <= sw_pallas_cell.QCAP_BATCH
             if batching and batchable:
                 shortbuf.append(codes)
                 if len(shortbuf) == self.QB_MAX:
@@ -675,7 +706,10 @@ class SearchEngine:
         while pending:
             yield from materialize(pending.popleft())
 
-    def _db_exceeds_device_memory(self) -> bool:
+    def _mesh_ndev(self) -> int:
+        return len(self.mesh.devices.flat) if self.mesh is not None else 1
+
+    def _db_exceeds_device_memory(self, ndev: int = 1) -> bool:
         budget = self.max_device_bytes
         if budget is None:
             try:
@@ -683,26 +717,33 @@ class SearchEngine:
                 budget = int(stats.get("bytes_limit", 12 << 30) * 0.7)
             except Exception:
                 budget = 8 << 30
-        return self.packed.total_padded_chars > budget
+        return self.packed.total_padded_chars > budget * ndev
 
     def _scan_streaming_batch(self, group):
-        """Stream the database ONCE for a batch of short queries.
+        """Stream the database ONCE for a batch of queries (any length).
 
         For DBs beyond device memory the host->HBM transfer dominates;
         scoring up to QB_MAX queries per streamed chunk divides it by the
         batch size (the reference re-uploads per query when the DB
-        exceeds VRAM, cudasw4.cuh:1490+ — this is strictly better).
+        exceeds VRAM, cudasw4.cuh:1490+ — this is strictly better).  On a
+        mesh each chunk's tile axis is sharded so every chip scores its
+        slice (the reference's multi-GPU copy pipeline, cudasw4.cuh:1560+).
+        Queries up to QCAP_BATCH share the multi-query batch kernel; longer
+        ones ride the same streamed chunk with per-query kernel calls
+        (chunked H/F carry on col buckets; the portable scorer only beyond
+        the cell kernel's SMEM query capacity).  Always exact int32 state.
         Returns a list of ScanResults in input order.
         """
+        from .ops import INTERPRET
+        from .parallel import sharding as sh
+
         t0 = time.perf_counter()
         QB = self.QB_MAX
         qcap_b = sw_pallas_cell.QCAP_BATCH
         n = len(group)
         gop, gex = self.scoring.gop, self.scoring.gex
-        # Queries up to QCAP_BATCH share the multi-query batch kernel;
-        # longer ones ride the same streamed chunk with per-query kernel
-        # calls — either way the DB transfers once per batch, not per
-        # query (that was ~5x the cost on long-query benchmark sets).
+        ndev = self._mesh_ndev()
+        use_pallas = self.backend == "pallas"
         shorts = [i for i, c in enumerate(group) if len(c) <= qcap_b]
         longs = [i for i, c in enumerate(group) if len(c) > qcap_b]
 
@@ -719,14 +760,28 @@ class SearchEngine:
         )
         pdev = jnp.asarray(params_b)
         qb_dev = jnp.asarray(queries)
+        # Full-query pads: kernel-capacity width for kernel paths, plus a
+        # wide variant per over-capacity query for the portable scorer.
         qpad_full = np.full((n, self.qcap), UNKNOWN, dtype=np.int32)
+        wide = {}
         for i, c in enumerate(group):
-            qpad_full[i, : len(c)] = c
+            if len(c) <= self.qcap:
+                qpad_full[i, : len(c)] = c
+            else:
+                w = np.full(_round_up(len(c), 256), UNKNOWN, np.int32)
+                w[: len(c)] = c
+                wide[i] = jnp.asarray(w)
         qfull_dev = jnp.asarray(qpad_full)
-        use_pallas = self.backend == "pallas"
         per_scores: list[list] = [[] for _ in range(n)]
         id_parts: list[np.ndarray] = []
         pending: list[tuple] = []
+
+        def stream_fn(key, build):
+            # shard_map-jitted scorers must be cached across scans or every
+            # call would retrace (jit caches by function identity).
+            if key not in self._stream_fns:
+                self._stream_fns[key] = build()
+            return self._stream_fns[key]
 
         def drain(limit):
             while len(pending) > limit:
@@ -741,35 +796,68 @@ class SearchEngine:
 
         def score_one(xdev, b, i):
             c = group[i]
-            nq_pad = max(4, -(-len(c) // 4) * 4)
-            kind = bucket_kind(b, nq_pad=nq_pad)
+            nq = len(c)
+            nq_pad = max(4, -(-nq // 4) * 4)
             if (
                 use_pallas
                 and b.kernel == "col"
                 and nq_pad > sw_pallas_col.NQC
             ):
                 # Long query on a long-subject bucket: chunk the query
-                # with HBM boundary carry instead of the portable scorer.
-                return sw_pallas_col.score_bucket_col_any_query(
-                    xdev, c, self._matrix_flat, gop, gex
+                # with H/F boundary carry instead of the portable scorer.
+                if ndev == 1:
+                    return sw_pallas_col.score_bucket_col_any_query(
+                        xdev, c, self._matrix_flat, gop, gex, exact=True,
+                        interpret=INTERPRET,
+                    )
+                qchunks, pcs = sh.make_query_chunks(c, gop, gex)
+                fn = stream_fn(
+                    ("colchunk", len(qchunks)),
+                    lambda: sh.build_sharded_col_chunked_scorer(
+                        self.mesh, len(qchunks), exact=True
+                    ),
                 )
-            pq = jnp.asarray(
-                np.array([len(c), gop, gex, nq_pad], np.int32)
+                return fn(
+                    xdev, jnp.asarray(qchunks), jnp.asarray(pcs),
+                    self._matrix_flat,
+                )
+            kind = bucket_kind(b, nq_pad=nq_pad)
+            if kind in ("cell", "row") and nq > self.qcap:
+                kind = "jnp"  # beyond the kernels' SMEM query capacity
+            qdev = wide[i] if i in wide else qfull_dev[i]
+            pq = jnp.asarray(np.array([nq, gop, gex, nq_pad], np.int32))
+            if ndev == 1:
+                return score_bucket(
+                    xdev, qdev, self._matrix_flat, self._matrix_f32,
+                    pq, use_pallas, kind, exact=True,
+                )
+            fn = stream_fn(
+                ("one", kind),
+                lambda: sh.build_sharded_bucket_scorer(
+                    self.mesh, kind, use_pallas, exact=True
+                ),
             )
-            return score_bucket(
-                xdev, qfull_dev[i], self._matrix_flat, self._matrix_f32,
-                pq, use_pallas, kind, exact=True,
-            )
+            return fn(xdev, qdev, pq, self._matrix_flat, self._matrix_f32)
 
         for b, chunk, sidx in self._stream_chunks():
-            xdev = jax.device_put(chunk)
+            xdev = self._put_chunk(chunk)
             rows: list = [None] * n
             if shorts:
                 kind = bucket_kind(b, nq_pad=int(pads_b.max()))
                 if use_pallas and kind == "cell":
-                    sb = sw_pallas_cell.score_bucket_pallas_cell_batch(
-                        xdev, qb_dev, self._matrix_flat, pdev
-                    )
+                    if ndev == 1:
+                        sb = sw_pallas_cell.score_bucket_pallas_cell_batch(
+                            xdev, qb_dev, self._matrix_flat, pdev,
+                            interpret=INTERPRET,
+                        )
+                    else:
+                        fn = stream_fn(
+                            "cellbatch",
+                            lambda: sh.build_sharded_cell_batch_scorer(
+                                self.mesh
+                            ),
+                        )
+                        sb = fn(xdev, qb_dev, self._matrix_flat, pdev)
                     for slot, i in enumerate(shorts):
                         rows[i] = sb[slot]
                 else:
@@ -819,14 +907,24 @@ class SearchEngine:
             )
         return out
 
+    def _put_chunk(self, chunk):
+        """Host->device transfer of one streamed chunk (tile-sharded over
+        the mesh when one is configured)."""
+        if self._mesh_ndev() > 1:
+            return jax.device_put(chunk, self._chunk_sharding)
+        return jax.device_put(chunk)
+
     def _stream_chunks(self):
         """Yield (bucket, chunk_tiles, chunk_seq_index) with fixed chunk
-        shapes per bucket (padding the final partial chunk)."""
+        shapes per bucket (padding the final partial chunk).  Chunk tile
+        counts are multiples of the mesh size so each chunk shards evenly."""
+        ndev = self._mesh_ndev()
         for b in self.packed.buckets:
             bytes_per_tile = b.L * b.NS
             ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
+            ct = max(ndev, ct // ndev * ndev)
             T = b.num_tiles
-            ct = min(ct, T)
+            ct = min(ct, _round_up(T, ndev))
             for t0 in range(0, T, ct):
                 t1 = min(t0 + ct, T)
                 chunk = b.tiles[t0:t1]
@@ -842,70 +940,36 @@ class SearchEngine:
                     )
                 yield b, chunk, sidx
 
-    def _scan_streaming(
-        self, qpad, params, force_jnp: bool = False, codes=None,
-        exact: bool = False,
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Stream DB tiles host->device chunk by chunk; up to two chunks are
-        in flight so transfer of chunk i+1 overlaps compute of chunk i."""
-        use_pallas = self.backend == "pallas" and not force_jnp
-        chunk_scores: list[tuple] = []
-        out_scores: list[np.ndarray] = []
-        out_ids: list[np.ndarray] = []
-        qdev = jnp.asarray(qpad)
-        pdev = jnp.asarray(params)
-
-        def drain(limit):
-            while len(chunk_scores) > limit:
-                s, sidx = chunk_scores.pop(0)
-                s = np.asarray(s).reshape(-1)
-                ids = sidx.reshape(-1)
-                keep = ids >= 0
-                out_scores.append(s[keep])
-                out_ids.append(ids[keep])
-
-        for b, chunk, sidx in self._stream_chunks():
-            xdev = jax.device_put(chunk)
-            s = score_bucket(
-                xdev, qdev, self._matrix_flat, self._matrix_f32, pdev,
-                use_pallas, bucket_kind(b, nq_pad=int(params[3])),
-                exact=exact,
-            )
-            chunk_scores.append((s, sidx))
-            drain(2)  # keep two chunks in flight
-        drain(0)
-        scores = np.concatenate(out_scores) if out_scores else np.zeros(0, np.float32)
-        ids = np.concatenate(out_ids) if out_ids else np.zeros(0, np.int32)
-        k = self.results_per_query
-        if k == 0 or len(scores) == 0:
-            return np.zeros(0, np.float32), np.zeros(0, np.int32)
-        order = np.lexsort((ids, -scores))[:k]
-        return scores[order], ids[order]
-
     def _scan_long_query(self, codes) -> ScanResult:
+        """Resident-DB scan of a query beyond the cell/row kernels' SMEM
+        query capacity: col buckets keep the fast chunked-carry kernel
+        (any query length); cell/row buckets fall back to the portable
+        tile-chunked scorer.  Streaming DBs never reach here (scan()
+        routes them through the streaming pipeline, which handles any
+        length)."""
+        from .ops import INTERPRET
         from .ops.sw_jax import score_tiles_jnp_chunked
 
-        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
-            raise NotImplementedError(
-                "queries longer than qcap on a multi-chip mesh are not "
-                "supported yet; raise qcap or scan single-chip"
-            )
         nq = len(codes)
-        qpad_len = _round_up(nq, 256)
+        qpad_len = max(self.qcap, _round_up(nq, 256))
         qpad = np.full(qpad_len, UNKNOWN, dtype=np.int32)
         qpad[:nq] = codes
-        if self.streaming:
+        nq_pad = max(4, -(-nq // 4) * 4)
+        t0 = time.perf_counter()
+        if self._mesh_ndev() > 1:
             params = np.array(
-                [nq, self.scoring.gop, self.scoring.gex, 0], dtype=np.int32
+                [nq, self.scoring.gop, self.scoring.gex, nq_pad], np.int32
             )
-            t0 = time.perf_counter()
-            vals, ids = self._scan_streaming(qpad, params, force_jnp=True)
+            vals, ids = self._scan_fn(qpad, params, codes=codes, exact=True)
+            vals = np.asarray(vals)
+            ids = np.asarray(ids)
+            k = self.results_per_query
             seconds = time.perf_counter() - t0
             cells = float(nq) * float(self.packed.total_real_chars)
             self._total_cells += cells
             return ScanResult(
-                scores=[int(v) for v in vals],
-                reference_ids=[int(i) for i in ids],
+                scores=[int(v) for v in vals[:k]],
+                reference_ids=[int(i) for i in ids[:k]],
                 stats=BenchmarkStats(
                     seconds=seconds,
                     gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
@@ -914,17 +978,22 @@ class SearchEngine:
         qdev = jnp.asarray(qpad)
         gop = jnp.float32(self.scoring.gop)
         gex = jnp.float32(self.scoring.gex)
-        t0 = time.perf_counter()
-        parts = [
-            np.asarray(
-                score_tiles_jnp_chunked(
+        use_pallas = self.backend == "pallas"
+        parts = []
+        for tiles, b in zip(self._bucket_tiles, self.packed.buckets):
+            if use_pallas and b.kernel == "col":
+                s = sw_pallas_col.score_bucket_col_any_query(
+                    tiles, codes, self._matrix_flat,
+                    self.scoring.gop, self.scoring.gex,
+                    exact=True, interpret=INTERPRET,
+                )
+            else:
+                s = score_tiles_jnp_chunked(
                     tiles if tiles.ndim == 3
                     else tiles.reshape(tiles.shape[0], tiles.shape[1], -1),
                     qdev, self._matrix_f32, gop, gex, jnp.int32(nq),
                 )
-            ).reshape(-1)
-            for tiles in self._bucket_tiles
-        ]
+            parts.append(np.asarray(s).reshape(-1))
         flat_idx = np.asarray(self._flat_idx)
         scores = np.concatenate(parts) if parts else np.zeros(0, np.float32)
         scores = np.where(flat_idx >= 0, scores, -1.0)

@@ -6,7 +6,14 @@ layout picks the kernel instead of a partId->template map)."""
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
+
+#: Run every Pallas kernel in interpret mode (pure-XLA emulation).  Lets
+#: the engine's Pallas-only code paths (chunked-col carry, batch kernels,
+#: sharded scans) execute on CPU in tests; settable via env or monkeypatch.
+INTERPRET = os.environ.get("CUDASW4_TPU_INTERPRET", "0") == "1"
 
 
 def score_bucket(
@@ -29,16 +36,18 @@ def score_bucket(
 
     if use_pallas and kind == "cell":
         return sw_pallas_cell.score_bucket_pallas_cell(
-            tiles, qpad, mat_flat, params, exact=exact
+            tiles, qpad, mat_flat, params, exact=exact, interpret=INTERPRET
         )
     if use_pallas and kind == "col":
         pc = jnp.stack([params[3], params[1], params[2], params[3]])
         q = qpad[: min(sw_pallas_col.NQC, qpad.shape[0])]
         return sw_pallas_col.score_bucket_pallas_col(
-            tiles, q, mat_flat, pc, exact=exact
+            tiles, q, mat_flat, pc, exact=exact, interpret=INTERPRET
         )
     if use_pallas and kind == "row":
-        return sw_pallas.score_bucket_pallas(tiles, qpad, mat_flat, params)
+        return sw_pallas.score_bucket_pallas(
+            tiles, qpad, mat_flat, params, interpret=INTERPRET
+        )
     if tiles.ndim == 4:
         T, L, g, nsl = tiles.shape
         tiles = tiles.reshape(T, L, g * nsl)

@@ -34,6 +34,66 @@ def make_mesh(devices=None, axis: str = "d") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _merge_topk(scores, ids, k: int, axis: str):
+    """Per-shard top-k, then gather k candidates per shard (tiny) and merge.
+
+    k==0 (--top 0 benchmarking) still selects one so the score kernels are
+    not dead-code-eliminated; callers slice to k on the way out.  Equal
+    scores resolve to the lowest reference id: shards hold contiguous
+    ascending tile ranges and ``lax.top_k`` prefers the lowest index, so the
+    gathered candidate list is id-ordered within and across shards (the
+    engine-wide tie rule, docs/PARITY.md)."""
+    kl = max(1, min(k, scores.shape[0]))
+    v, i = jax.lax.top_k(scores, kl)
+    ids_sel = jnp.take(ids, i)
+    vg = jax.lax.all_gather(v, axis).reshape(-1)
+    ig = jax.lax.all_gather(ids_sel, axis).reshape(-1)
+    kf = max(1, min(k, vg.shape[0]))
+    vfin, ifin = jax.lax.top_k(vg, kf)
+    return vfin, jnp.take(ig, ifin)
+
+
+def make_query_chunks(codes, gop: int, gex: int, unroll: int = 4):
+    """Split an encoded query into NQC-row chunks for the column kernel's
+    boundary-carry multi-pass (qchunks [C, NQC] int32, pcs [C, 4] int32)."""
+    from ..ops import sw_pallas_col
+
+    n = len(codes)
+    qs, ps = [], []
+    for s in range(0, max(n, 1), sw_pallas_col.NQC):
+        qpad, nq_pad = sw_pallas_col.pad_query_chunk(
+            codes[s : s + sw_pallas_col.NQC], unroll
+        )
+        qs.append(qpad)
+        ps.append([nq_pad, gop, gex, 0])
+    return np.stack(qs), np.array(ps, np.int32)
+
+
+def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
+    """Chunked-query column-kernel scan over one (shard-local) tile array:
+    the H/F bottom-row boundary carries between query chunks inside the
+    jit, so state never crosses the shard_map (it is per-subject, hence
+    per-shard — the analog of the reference's per-GPU 4 GiB temp,
+    /root/reference/src/cudasw4.cuh:1928-1947)."""
+    from ..ops import INTERPRET, sw_pallas_col
+
+    best = None
+    state = None
+    for c in range(nchunks):
+        emit = c + 1 < nchunks
+        res = sw_pallas_col.score_bucket_pallas_col(
+            tiles, qchunks[c], mat_flat, pcs[c],
+            state_in=state, take_init=c > 0, emit_state=emit,
+            exact=exact, interpret=INTERPRET,
+        )
+        if emit:
+            scores, state = res
+        else:
+            scores = res
+        best = scores if best is None else jnp.maximum(best, scores)
+    return best
+
+
 def pad_tiles_for_mesh(packed: PackedDB, ndev: int) -> None:
     """Pad each bucket's tile count to a multiple of ndev (in place), adding
     all-padding tiles (seq_index=-1) that can never win top-k."""
@@ -77,7 +137,7 @@ def build_sharded_batch_scan(
     """
     import jax.numpy as jnp
 
-    from ..ops import sw_pallas_cell
+    from ..ops import INTERPRET, sw_pallas_cell
 
     axis = mesh.axis_names[0]
 
@@ -88,7 +148,7 @@ def build_sharded_batch_scan(
         for tiles, sidx, kind in zip(tiles_tuple, idx_tuple, kinds):
             if use_pallas and kind == "cell":
                 s = sw_pallas_cell.score_bucket_pallas_cell_batch(
-                    tiles, queries, mat_flat, params
+                    tiles, queries, mat_flat, params, interpret=INTERPRET
                 )
                 for qb in range(QB):
                     per_qb[qb].append(s[qb].reshape(-1))
@@ -147,23 +207,135 @@ def build_sharded_scan(
         scores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         ids = jnp.concatenate(idparts) if len(idparts) > 1 else idparts[0]
         scores = jnp.where(ids >= 0, scores, -1.0)
-        # Local top-k, then gather k candidates per shard (tiny) and merge.
-        # k==0 (--top 0 benchmarking) still selects one so the score
-        # kernels are not dead-code-eliminated; sliced to k on the way out.
-        kl = max(1, min(k, scores.shape[0]))
-        v, i = jax.lax.top_k(scores, kl)
-        ids_sel = jnp.take(ids, i)
-        vg = jax.lax.all_gather(v, axis).reshape(-1)
-        ig = jax.lax.all_gather(ids_sel, axis).reshape(-1)
-        kf = max(1, min(k, vg.shape[0]))
-        vfin, ifin = jax.lax.top_k(vg, kf)
-        return vfin, jnp.take(ig, ifin)
+        return _merge_topk(scores, ids, k, axis)
 
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P()),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_scan_chunked(
+    mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, nchunks: int,
+    exact: bool = False,
+):
+    """Sharded scan for queries beyond the column kernel's NQC row capacity:
+    col buckets run the chunked-query boundary-carry multi-pass per shard
+    (no collective — DP state is per-subject); other buckets score with the
+    full query as usual.  The reference runs its multi-pass kernels on every
+    GPU the same way (/root/reference/src/cudasw4.cuh:1920-2096).
+
+    Returns jitted (qchunks [C, NQC], pcs [C, 4], qpad, params, tiles_tuple,
+    idx_tuple, mat_flat, mat_f32) -> (scores [k], ids [k]) replicated.
+    """
+    axis = mesh.axis_names[0]
+
+    def body(qchunks, pcs, qpad, params, tiles_tuple, idx_tuple,
+             mat_flat, mat_f32):
+        parts, idparts = [], []
+        for tiles, sidx, kind in zip(tiles_tuple, idx_tuple, kinds):
+            if use_pallas and kind == "col":
+                s = _col_chunked_local(
+                    tiles, qchunks, pcs, mat_flat, nchunks, exact
+                )
+            else:
+                s = score_bucket(
+                    tiles, qpad, mat_flat, mat_f32, params, use_pallas,
+                    kind, exact=exact,
+                )
+            parts.append(s.reshape(-1))
+            idparts.append(sidx.reshape(-1))
+        scores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        ids = jnp.concatenate(idparts) if len(idparts) > 1 else idparts[0]
+        scores = jnp.where(ids >= 0, scores, -1.0)
+        return _merge_topk(scores, ids, k, axis)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------- streaming
+# Scorers for host->HBM streamed chunks on a mesh: each fixed-shape chunk's
+# tile axis is sharded, every chip scores its tiles, and the per-chunk score
+# arrays come back tile-sharded (the host-side merge gathers them — scores
+# are ~1/L the size of the tiles).  This is the reference's batched copy
+# pipeline running identically on every GPU (cudasw4.cuh:1490-2262) mapped
+# onto a mesh.
+
+
+def build_sharded_bucket_scorer(
+    mesh: Mesh, kind: str, use_pallas: bool, exact: bool = False
+):
+    """jitted (tiles, qpad, params, mat_flat, mat_f32) -> scores [T, NS]
+    with the tile axis sharded in and out."""
+    axis = mesh.axis_names[0]
+
+    def body(tiles, qpad, params, mat_flat, mat_f32):
+        return score_bucket(
+            tiles, qpad, mat_flat, mat_f32, params, use_pallas, kind,
+            exact=exact,
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_cell_batch_scorer(mesh: Mesh):
+    """jitted (tiles, queries, mat_flat, params) -> scores [QB, T, NS]
+    via the multi-query cell kernel, tile axis sharded."""
+    from ..ops import INTERPRET, sw_pallas_cell
+
+    axis = mesh.axis_names[0]
+
+    def body(tiles, queries, mat_flat, params):
+        return sw_pallas_cell.score_bucket_pallas_cell_batch(
+            tiles, queries, mat_flat, params, interpret=INTERPRET
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_col_chunked_scorer(
+    mesh: Mesh, nchunks: int, exact: bool = False
+):
+    """jitted (tiles, qchunks, pcs, mat_flat) -> scores [T, NS], tile axis
+    sharded: the full chunked-query col scan of one streamed chunk, with
+    the H/F boundary carry kept shard-local inside the jit."""
+    axis = mesh.axis_names[0]
+
+    def body(tiles, qchunks, pcs, mat_flat):
+        return _col_chunked_local(
+            tiles, qchunks, pcs, mat_flat, nchunks, exact
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(axis),
         check_vma=False,
     )
     return jax.jit(mapped)
