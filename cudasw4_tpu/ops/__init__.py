@@ -61,6 +61,66 @@ def score_bucket(
     )
 
 
+def batch_col_scores(
+    tiles, queries, mat_flat, params, QB: int, R: int, S: int,
+    interpret: bool = False, count: int | None = None, scorer=None,
+):
+    """Score a col bucket for a QB-query batch in ceil(QB/S) passes of the
+    multi-slot column kernel (one tile stream + LUT build per pass).
+
+    ``queries`` [QB, >=R] int32, ``params`` the batch layout
+    [4+2*QB]: _, gop, gex, _, nq_0.., pad_0.. (pads are the unroll-padded
+    row counts the slots run).  Yields (scores [S, T, NS], base, take) —
+    traced values, usable inside a jit.
+
+    ``count`` limits how many leading slots are actually scored (rounded
+    up to S internally; default all QB) — the streaming path uses it to
+    skip passes over empty batch slots.  ``scorer`` overrides the kernel
+    call (the sharded streaming path passes a shard_map-wrapped one).
+    """
+    from ..constants import UNKNOWN
+    from . import sw_pallas_col
+
+    if scorer is None:
+        def scorer(t, q, m, p):
+            return sw_pallas_col.score_bucket_pallas_col_batch(
+                t, q, m, p, interpret=interpret, exact=True
+            )
+
+    limit = QB if count is None else min(QB, count)
+    base = 0
+    while base < limit:
+        take = min(S, QB - base)
+        qs = queries[base : base + take, :R]
+        pc = params[4 + QB + base : 4 + QB + base + take]
+        if take < S:
+            qs = jnp.pad(
+                qs, ((0, S - take), (0, 0)), constant_values=UNKNOWN
+            )
+            pc = jnp.pad(pc, (0, S - take), constant_values=4)
+        pcol = jnp.concatenate([params[:4], pc])
+        s = scorer(tiles, qs, mat_flat, pcol)
+        yield s, base, take
+        base += take
+
+
+def col_batch_geometry(max_pad: int, QB: int) -> tuple[int, int]:
+    """(R, S) for the multi-slot column kernel: R = slot row capacity
+    (power of two >= the largest unroll-padded query in the batch), S =
+    slots per pass (divides QB so groups tile the batch exactly; total
+    state S*R <= NQC keeps the kernel's VMEM budget constant)."""
+    from . import sw_pallas_col
+
+    R = 4
+    while R < max_pad:
+        R *= 2
+    cap = max(1, sw_pallas_col.NQC // R)
+    S = 1
+    while S * 2 <= min(cap, QB) and QB % (S * 2) == 0:
+        S *= 2
+    return R, S
+
+
 def bucket_kind(bucket, nq_pad: int | None = None) -> str:
     """Effective dispatch kind for a packed bucket.
 

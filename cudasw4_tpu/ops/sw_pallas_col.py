@@ -312,3 +312,170 @@ def score_bucket_col_any_query(
             scores, state = res, None
         best = scores if best is None else jnp.maximum(best, scores)
     return best
+
+
+def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32):
+    """Multi-query column kernel: S query slots of up to R rows each share
+    one streamed subject chunk and one substitution LUT per grid step.
+
+    The single-query kernel streams the bucket once *per query*; for a
+    batch the engine previously paid that stream + LUT build QB times
+    (round-1 verdict item 3).  Here the (tiles, chunks) grid is unchanged
+    and the slots loop runs inside the step, so each tile block is fetched
+    and its LUT built exactly once per batch — the analog of the
+    reference's all-partitions-batched upload (cudasw4.cuh:1742-2103).
+    Per-slot DP state is a slice of the same NQC-row VMEM budget
+    (S * R <= NQC keeps it identical to the single-query kernel).
+    """
+    (params_ref, q_ref, b_ref, x_ref, out_ref,
+     lut_ref, hcol_ref, ecol_ref, m_ref, dcarry_ref) = refs
+
+    gop = params_ref[1]
+    gex = params_ref[2]
+    c = pl.program_id(1)
+
+    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL))
+
+    narrow = state_dtype != jnp.int32
+    sat = jnp.int32(SAT)
+    zero = m_ref[0] * 0
+    negv = zero + NEG
+    negs = zero + (NEG16 if narrow else NEG)
+
+    def one_slot(qb, _):
+        nqp = params_ref[4 + qb]  # rows this slot, multiple of U
+        nsteps = nqp // U
+
+        @pl.when(c == 0)
+        def _():
+            m_ref[qb] = zero
+            dcarry_ref[qb] = zero
+
+            def izero(i, _):
+                hcol_ref[qb, pl.ds(i * U, U)] = jnp.stack(
+                    [zero.astype(state_dtype)] * U
+                )
+                ecol_ref[qb, pl.ds(i * U, U)] = jnp.stack(
+                    [negs.astype(state_dtype)] * U
+                )
+                return 0
+
+            jax.lax.fori_loop(0, R // U, izero, 0)
+
+        m0 = m_ref[qb]
+
+        def col_step(j, carry):
+            prev_hinit, m = carry
+            hinit = zero
+            finit = negv
+
+            def row_step(ii, icarry):
+                hdiag, hprev, freg, m = icarry
+                i0 = ii * U
+                hc_s = hcol_ref[qb, pl.ds(i0, U)].astype(jnp.int32)
+                ec_s = ecol_ref[qb, pl.ds(i0, U)].astype(jnp.int32)
+                hnew = []
+                enew = []
+                for u in range(U):
+                    qi = q_ref[qb, i0 + u]
+                    sub = lut_ref[qi, j].astype(jnp.int32)
+                    hc = hc_s[u]
+                    e = jnp.maximum(ec_s[u] + gex, hc + gop)
+                    f = jnp.maximum(freg + gex, hprev + gop)
+                    h = jnp.maximum(hdiag + sub, jnp.maximum(e, f))
+                    h = jnp.maximum(h, 0)
+                    m = jnp.maximum(m, h)
+                    hnew.append(h)
+                    enew.append(e)
+                    hdiag = hc
+                    hprev = h
+                    freg = f
+                hs = jnp.stack(hnew)
+                if narrow:
+                    hs = jnp.minimum(hs, sat)
+                hcol_ref[qb, pl.ds(i0, U)] = hs.astype(state_dtype)
+                ecol_ref[qb, pl.ds(i0, U)] = jnp.stack(enew).astype(
+                    state_dtype
+                )
+                return (hdiag, hprev, freg, m)
+
+            _, _, _, m = jax.lax.fori_loop(
+                0, nsteps, row_step, (prev_hinit, hinit, finit, m)
+            )
+            return (hinit, m)
+
+        prev_hinit, m = jax.lax.fori_loop(
+            0, LCk, col_step, (dcarry_ref[qb], m0)
+        )
+        dcarry_ref[qb] = prev_hinit
+        m_ref[qb] = m
+        return 0
+
+    jax.lax.fori_loop(0, S, one_slot, 0)
+    out_ref[0] = m_ref[...].astype(jnp.float32)
+
+
+def _sw_col_batch_kernel_entry(*refs, LCk, U, S, R, state_dtype):
+    _sw_col_batch_kernel(refs, LCk=LCk, U=U, S=S, R=R,
+                         state_dtype=state_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "unroll", "exact")
+)
+def score_bucket_pallas_col_batch(
+    tiles: jax.Array,  # int8 [T, L, G, NSL], L % LC == 0
+    queries: jax.Array,  # int32 [S, R] query slots (UNKNOWN-padded)
+    matrix_flat: jax.Array,  # int32 [441]
+    params: jax.Array,  # int32 [4+S]: _, gop, gex, _, nqp_0..nqp_{S-1}
+    interpret: bool = False,
+    unroll: int = 4,
+    exact: bool = True,
+):
+    """Scores f32 [S, T, G*NSL]: S queries per tile stream.
+
+    Each slot's nqp must be a multiple of ``unroll`` and <= R; unused
+    slots should carry nqp = unroll with UNKNOWN rows (scored but can
+    never beat real hits, B[UNKNOWN][.] < 0)."""
+    T, L, g, nsl = tiles.shape
+    S, R = queries.shape
+    assert (g, nsl) == (G, NSL), (g, nsl)
+    assert L % LC == 0, L
+    assert R % unroll == 0, (R, unroll)
+    C = L // LC
+    state_dtype = jnp.int32 if exact else jnp.int16
+    state_bytes = 4 if exact else 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0))
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, g, nsl), lambda t, c, *_: (t, 0, 0, 0))
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ALPHABET_SIZE, LC, g, nsl), jnp.int8),
+            pltpu.VMEM((S, R, g, nsl), state_dtype),
+            pltpu.VMEM((S, R, g, nsl), state_dtype),
+            pltpu.VMEM((S, g, nsl), jnp.int32),
+            pltpu.VMEM((S, g, nsl), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _sw_col_batch_kernel_entry, LCk=LC, U=unroll, S=S, R=R,
+        state_dtype=state_dtype,
+    )
+    chunk = LC * g * nsl
+    state = 2 * S * R * g * nsl * state_bytes
+    vmem_bytes = chunk * ALPHABET_SIZE + state + 4 * chunk + 8 * chunk * 4
+    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), 100 << 20)
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((T, S, g, nsl), jnp.float32),),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(params, queries, matrix_flat, tiles)
+    return res[0].transpose(1, 0, 2, 3).reshape(S, T, g * nsl)

@@ -125,11 +125,14 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh):
 
 
 def build_sharded_batch_scan(
-    mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int
+    mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int,
+    R: int = 4, S: int = 1,
 ):
     """Batched variant of build_sharded_scan: scores QB queries per pass
-    (cell buckets use the multi-query batch kernel, one tile stream for
-    the whole batch), with per-query local top-k + all_gather merge.
+    (cell buckets use the multi-query batch kernel, col buckets the
+    S-slot column kernel — one tile stream for the whole batch), with
+    per-query local top-k + all_gather merge.  (R, S) from
+    ops.col_batch_geometry.
 
     Returns jitted (queries [QB, QCAP_BATCH], qpad_full [QB, QCAP],
     params [4+2*QB], tiles_tuple, idx_tuple, mat_flat, mat_f32) ->
@@ -137,7 +140,7 @@ def build_sharded_batch_scan(
     """
     import jax.numpy as jnp
 
-    from ..ops import INTERPRET, sw_pallas_cell
+    from ..ops import INTERPRET, batch_col_scores, sw_pallas_cell
 
     axis = mesh.axis_names[0]
 
@@ -152,6 +155,13 @@ def build_sharded_batch_scan(
                 )
                 for qb in range(QB):
                     per_qb[qb].append(s[qb].reshape(-1))
+            elif use_pallas and kind == "col":
+                for s_part, base, take in batch_col_scores(
+                    tiles, queries, mat_flat, params, QB, R, S,
+                    interpret=INTERPRET,
+                ):
+                    for si in range(take):
+                        per_qb[base + si].append(s_part[si].reshape(-1))
             else:
                 for qb in range(QB):
                     pq = jnp.stack([
@@ -306,6 +316,30 @@ def build_sharded_cell_batch_scorer(mesh: Mesh):
     def body(tiles, queries, mat_flat, params):
         return sw_pallas_cell.score_bucket_pallas_cell_batch(
             tiles, queries, mat_flat, params, interpret=INTERPRET
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_col_batch_scorer(mesh: Mesh):
+    """jitted (tiles, queries [S, R], mat_flat, params [4+S]) ->
+    scores [S, T, NS] via the multi-slot column kernel, tile axis
+    sharded (streamed-chunk scorer for batches on a mesh)."""
+    from ..ops import INTERPRET, sw_pallas_col
+
+    axis = mesh.axis_names[0]
+
+    def body(tiles, queries, mat_flat, params):
+        return sw_pallas_col.score_bucket_pallas_col_batch(
+            tiles, queries, mat_flat, params, interpret=INTERPRET,
+            exact=True,
         )
 
     mapped = jax.shard_map(

@@ -152,3 +152,19 @@ def test_streaming_single_scan_equals_batch(db, queries, oracle, colpatch):
     assert single.scores == batch.scores
     assert single.reference_ids == batch.reference_ids
     _assert_same_hits(single, oracle["long"])
+
+
+def test_resident_batch_col_bucket(db, colpatch):
+    """scan_batch on a resident DB with a col bucket: the S-slot column
+    kernel scores several queries per tile stream; results match the
+    portable oracle exactly."""
+    rng = np.random.default_rng(42)
+    qs = [rng.integers(0, 20, int(n)).astype(np.int8) for n in (6, 8, 5, 7)]
+    jnp_eng = SearchEngine(num_top=10, qcap=64, backend="jnp")
+    jnp_eng.set_database(db)
+    wants = [jnp_eng.scan(q) for q in qs]
+
+    eng = SearchEngine(num_top=10, qcap=64, backend="pallas")
+    eng.set_database(db)
+    for got, want in zip(eng.scan_batch(qs), wants):
+        _assert_same_hits(got, want)

@@ -92,3 +92,36 @@ def test_col_kernel_gap_regression(monkeypatch):
         interpret=not ON_TPU,
     )
     assert int(np.asarray(got).reshape(-1)[0]) == 20
+
+
+def test_col_batch_kernel_matches_oracle(rng, monkeypatch):
+    """S query slots share one tile stream; per-slot scores are exact."""
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    cfg = make_scoring_config("blosum62")
+    L = 48  # 3 subject chunks
+    n = 25
+    subjects = [
+        rng.integers(0, 20, size=int(rng.integers(5, L))) for _ in range(n)
+    ]
+    S, R = 4, 24
+    queries = [rng.integers(0, 20, size=int(ln)) for ln in (7, 24, 13, 20)]
+    from cudasw4_tpu.constants import UNKNOWN
+
+    qarr = np.full((S, R), UNKNOWN, np.int32)
+    nqps = []
+    for s, q in enumerate(queries):
+        qarr[s, : len(q)] = q
+        nqps.append(max(4, -(-len(q) // 4) * 4))
+    params = jnp.asarray(
+        np.array([0, cfg.gop, cfg.gex, 0] + nqps, np.int32)
+    )
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    got = sw_pallas_col.score_bucket_pallas_col_batch(
+        _tiles_from(subjects, L, 2), jnp.asarray(qarr), mat, params,
+        interpret=not ON_TPU,
+    )
+    got = np.asarray(got)
+    for s, q in enumerate(queries):
+        assert [int(v) for v in got[s].reshape(-1)[:n]] == _oracle(
+            q, subjects, cfg
+        ), f"slot {s}"
