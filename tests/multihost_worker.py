@@ -1,0 +1,75 @@
+"""Worker process for tests/test_multihost.py (not a test module).
+
+Runs one process of a 2-process jax.distributed CPU cluster: builds a
+deterministic database, shards it over the global mesh, scans fixed
+queries and prints the results.  The parent asserts both workers print
+identical output matching the single-process result (SURVEY.md §4
+implication (d): multi-host logic must be CPU-testable).
+"""
+
+import sys
+
+
+def main():
+    coordinator, nproc, pid, ndev = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    )
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={ndev}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from cudasw4_tpu.engine import SearchEngine
+    from cudasw4_tpu.parallel.multihost import (
+        global_mesh,
+        initialize,
+        is_primary,
+    )
+
+    initialize(coordinator=coordinator, num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.local_devices()) == ndev
+    assert len(jax.devices()) == nproc * ndev
+
+    import numpy as np
+
+    from cudasw4_tpu.db.format import DBData
+
+    # Deterministic DB: every process builds the identical array set (the
+    # multi-host contract: same DB + same scan order on every process).
+    rng = np.random.default_rng(2024)
+    lengths = np.sort(rng.integers(5, 80, size=400)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = rng.integers(0, 20, size=int(offsets[-1])).astype(np.int8)
+    db = DBData(
+        chars=chars,
+        offsets=offsets,
+        lengths=lengths,
+        headers=np.frombuffer(b"h" * len(lengths), dtype=np.uint8),
+        header_offsets=np.arange(len(lengths) + 1, dtype=np.uint64),
+    )
+
+    engine = SearchEngine(num_top=10, qcap=64, mesh=global_mesh())
+    engine.set_database(db)
+
+    qrng = np.random.default_rng(7)
+    queries = [qrng.integers(0, 20, n).astype(np.int8) for n in (30, 12, 55)]
+    for q in queries:
+        res = engine.scan(q)
+        print(f"RESULT {pid} {res.scores} {res.reference_ids}", flush=True)
+    batch = engine.scan_batch(queries[:2])
+    for res in batch:
+        print(f"BATCH {pid} {res.scores} {res.reference_ids}", flush=True)
+    print(f"DONE {pid} primary={is_primary()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
