@@ -237,22 +237,38 @@ def pack_db(
         finish(tiles, seq_index, seq_lengths)
 
     buckets: list[PackedBucket] = []
+    for start, stop, L, NS, kernel in plan_buckets(lengths, edges):
+        pack_range(start, stop, L, NS, kernel)
 
-    # Short part: fixed edges (fine-grained to cut padding waste).
+    return PackedDB(
+        buckets=buckets,
+        num_sequences=n,
+        total_real_chars=int(lengths.sum()),
+    )
+
+
+def plan_buckets(lengths, edges=None):
+    """Bucket plan for a length-sorted database: list of
+    (start, stop, L, NS, kernel) sequence ranges.
+
+    Short part uses fixed fine-grained edges; the long tail (> CELL_MAX_L)
+    packs top-down chunks of CELL_SUBJECTS consecutive sequences, each
+    padded to a ladder length just above its longest member, with adjacent
+    equal-L chunks merged — near-100% lane occupancy where fixed edges
+    would burn most of a 4096-subject tile.
+    """
+    if edges is None:
+        edges = DEFAULT_BUCKET_EDGES
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n = len(lengths)
+    plan: list[tuple] = []
     start = 0
     for edge in [e for e in edges if e <= CELL_MAX_L]:
         stop = int(np.searchsorted(lengths, edge + 1, side="left"))
         if stop > start:
             NS, kernel = choose_bucket_layout(edge, stop - start)
-            pack_range(start, stop, edge, NS, kernel)
+            plan.append((start, stop, edge, NS, kernel))
         start = stop
-
-    # Long tail (> CELL_MAX_L): top-down chunks of CELL_SUBJECTS
-    # consecutive sequences, each padded to a ladder length just above its
-    # longest member, then adjacent equal-L chunks merged into one bucket.
-    # Near-100% lane occupancy for every tile except the very last chunk —
-    # fixed edges waste most of a 4096-subject tile out here (a 44-sequence
-    # tail bucket would burn 99% of its tile).
     if start < n:
         long_start = start
         chunk_runs: list[list] = []  # [lo, hi, L], descending
@@ -267,23 +283,33 @@ def pack_db(
             i = j
         for lo, hi, L in reversed(chunk_runs):
             NS, kernel = choose_bucket_layout(L, hi - lo)
-            pack_range(lo, hi, L, NS, kernel)
-
-    return PackedDB(
-        buckets=buckets,
-        num_sequences=n,
-        total_real_chars=int(lengths.sum()),
-    )
+            plan.append((lo, hi, L, NS, kernel))
+    return plan
 
 
 #: Bump when tile layout / bucket selection changes so stale sidecar
 #: caches are ignored.
-PACK_FORMAT_VERSION = 3
+PACK_FORMAT_VERSION = 4
+
+_KERNEL_CODE = {"row": 0, "cell": 1, "col": 2}
+_KERNEL_NAME = {v: k for k, v in _KERNEL_CODE.items()}
+
+
+def _tiles_bin_path(path: str) -> str:
+    return path + ".tiles"
 
 
 def save_packed(packed: PackedDB, path: str) -> None:
-    """Serialize a PackedDB to an .npz sidecar (uncompressed: int8 tiles
-    barely compress and load speed is the point)."""
+    """Serialize a PackedDB to a disk-backed tile store: a manifest
+    (npz: meta, per-bucket info + seq_index/lengths) at ``path`` plus a
+    raw int8 tile file at ``path + ".tiles"``.
+
+    Raw tiles (not npz members) make the store memmap-able per bucket, so
+    a streaming engine reads tiles from disk instead of holding the whole
+    packed DB in host RAM — the analog of the reference's mmap'd DB +
+    bounded pinned buffer (/root/reference/src/dbdata.cpp:46-65,
+    mmapbuffer.hpp:332-500).
+    """
     arrays = {
         "meta": np.array(
             [PACK_FORMAT_VERSION, packed.num_sequences,
@@ -291,23 +317,32 @@ def save_packed(packed: PackedDB, path: str) -> None:
             dtype=np.int64,
         ),
     }
-    for i, b in enumerate(packed.buckets):
-        arrays[f"b{i}_tiles"] = b.tiles
-        arrays[f"b{i}_idx"] = b.seq_index
-        arrays[f"b{i}_len"] = b.lengths
-        arrays[f"b{i}_info"] = np.array(
-            [b.L, b.NS, {"row": 0, "cell": 1, "col": 2}[b.kernel]], np.int64
-        )
+    offset = 0
+    tmp_bin = _tiles_bin_path(path) + ".tmp"
+    with open(tmp_bin, "wb") as f:
+        for i, b in enumerate(packed.buckets):
+            arrays[f"b{i}_idx"] = b.seq_index
+            arrays[f"b{i}_len"] = b.lengths
+            arrays[f"b{i}_info"] = np.array(
+                [b.L, b.NS, _KERNEL_CODE[b.kernel], b.num_tiles, offset],
+                np.int64,
+            )
+            f.write(np.ascontiguousarray(b.tiles).tobytes())
+            offset += b.tiles.size
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
+    os.replace(tmp_bin, _tiles_bin_path(path))
     os.replace(tmp, path)
 
 
-def load_packed(path: str, expect_sequences: int, expect_chars: int):
-    """Load a sidecar written by save_packed; returns None if missing or
-    stale (version or database shape mismatch)."""
-    if not os.path.exists(path):
+def load_packed(path: str, expect_sequences: int, expect_chars: int,
+                mmap: bool = True):
+    """Load a tile store written by save_packed / pack_db_to_store;
+    returns None if missing or stale (version or database shape
+    mismatch).  ``mmap`` True keeps tiles disk-backed (bounded RAM, the
+    default); False loads them eagerly."""
+    if not os.path.exists(path) or not os.path.exists(_tiles_bin_path(path)):
         return None
     try:
         z = np.load(path)
@@ -318,15 +353,26 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int):
             or nchars != expect_chars
         ):
             return None
-        kernels = {0: "row", 1: "cell", 2: "col"}
+        bin_path = _tiles_bin_path(path)
+        total = os.path.getsize(bin_path)
+        flat = np.memmap(bin_path, dtype=np.int8, mode="r", shape=(total,))
         buckets = []
         for i in range(nb):
-            L, NS, kk = (int(x) for x in z[f"b{i}_info"])
+            L, NS, kk, T, off = (int(x) for x in z[f"b{i}_info"])
+            kernel = _KERNEL_NAME[kk]
+            shape = (
+                (T, L, 32, NS // 32) if kernel in ("cell", "col")
+                else (T, L, NS)
+            )
+            size = T * L * NS
+            tiles = flat[off : off + size].reshape(shape)
+            if not mmap:
+                tiles = np.array(tiles)
             buckets.append(
                 PackedBucket(
-                    L=L, NS=NS, tiles=z[f"b{i}_tiles"],
+                    L=L, NS=NS, tiles=tiles,
                     seq_index=z[f"b{i}_idx"], lengths=z[f"b{i}_len"],
-                    kernel=kernels[kk],
+                    kernel=kernel,
                 )
             )
         return PackedDB(
@@ -334,6 +380,83 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int):
         )
     except Exception:
         return None
+
+
+def pack_db_to_store(
+    db, path: str, edges=None, slab_tiles: int = 64, use_native: bool = True
+) -> PackedDB:
+    """Pack a length-sorted database directly into a disk-backed tile
+    store, holding at most one slab (``slab_tiles`` tiles) of tile data
+    in RAM at a time — packing a database far larger than host memory.
+
+    Returns the memmap-backed PackedDB (same result as
+    ``save_packed(pack_db(db), path); load_packed(path)``, byte-identical
+    store).
+    """
+    lengths = np.asarray(db.lengths, dtype=np.int64)
+    offsets = np.asarray(db.offsets, dtype=np.int64)
+    chars = np.asarray(db.chars)
+    n = len(lengths)
+    if n and not np.all(lengths[1:] >= lengths[:-1]):
+        raise ValueError("database is not sorted by length ascending")
+
+    def pack_slab(a, b, L, NS):
+        """[ceil((b-a)/NS)] tiles covering sequences [a, b) (row layout)."""
+        if use_native:
+            from ..native import pack_bucket_native
+
+            native = pack_bucket_native(
+                chars, offsets, lengths.astype(np.int32), a, b, L, NS
+            )
+            if native is not None:
+                return native
+        cnt = b - a
+        nt = -(-cnt // NS)
+        offs = offsets[a:b, None]
+        jj = np.arange(L, dtype=np.int64)[None, :]
+        padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
+        idx = offs + np.minimum(jj, padlens - 1)
+        block = np.take(chars, idx)
+        block = np.where(jj < padlens, block, UNKNOWN).astype(np.int8)
+        slab = np.full((nt * NS, L), UNKNOWN, dtype=np.int8)
+        slab[:cnt] = block
+        tiles = slab.reshape(nt, NS, L).transpose(0, 2, 1)
+        sidx = np.full(nt * NS, -1, dtype=np.int32)
+        sidx[:cnt] = np.arange(a, b, dtype=np.int32)
+        slen = np.zeros(nt * NS, dtype=np.int32)
+        slen[:cnt] = lengths[a:b]
+        return tiles, sidx.reshape(nt, NS), slen.reshape(nt, NS)
+
+    arrays = {}
+    offset = 0
+    nb = 0
+    tmp_bin = _tiles_bin_path(path) + ".tmp"
+    with open(tmp_bin, "wb") as f:
+        for start, stop, L, NS, kernel in plan_buckets(lengths, edges):
+            T = -(-(stop - start) // NS)
+            idx_parts, len_parts = [], []
+            for a in range(start, stop, slab_tiles * NS):
+                b = min(a + slab_tiles * NS, stop)
+                tiles, sidx, slen = pack_slab(a, b, L, NS)
+                f.write(np.ascontiguousarray(tiles).tobytes())
+                idx_parts.append(sidx)
+                len_parts.append(slen)
+            arrays[f"b{nb}_idx"] = np.concatenate(idx_parts)
+            arrays[f"b{nb}_len"] = np.concatenate(len_parts)
+            arrays[f"b{nb}_info"] = np.array(
+                [L, NS, _KERNEL_CODE[kernel], T, offset], np.int64
+            )
+            offset += T * L * NS
+            nb += 1
+    arrays["meta"] = np.array(
+        [PACK_FORMAT_VERSION, n, int(lengths.sum()), nb], np.int64
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fm:
+        np.savez(fm, **arrays)
+    os.replace(tmp_bin, _tiles_bin_path(path))
+    os.replace(tmp, path)
+    return load_packed(path, n, int(lengths.sum()))
 
 
 def unpack_tile_sequences(bucket: PackedBucket, tile: int) -> list[np.ndarray]:

@@ -132,15 +132,20 @@ class SearchEngine:
             )
             if self.packed is not None and self.verbose:
                 print(f"Loaded packed tiles from {pack_cache}")
+        if self.packed is None and pack_cache:
+            # Pack straight into the disk-backed tile store: bounded host
+            # RAM (one slab in flight) and the result is memmap-backed, so
+            # streaming scans read tiles from disk, not RAM.
+            from .db.packing import pack_db_to_store
+
+            try:
+                self.packed = pack_db_to_store(
+                    db, pack_cache, edges=self.bucket_edges
+                )
+            except OSError:
+                self.packed = None  # read-only db dir: cache is best-effort
         if self.packed is None:
             self.packed = pack_db(db, edges=self.bucket_edges)
-            if pack_cache:
-                from .db.packing import save_packed
-
-                try:
-                    save_packed(self.packed, pack_cache)
-                except OSError:
-                    pass  # read-only db dir: packing cache is best-effort
         self._matrix_flat = jnp.asarray(
             self.scoring.matrix.astype(np.int32).reshape(-1)
         )

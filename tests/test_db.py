@@ -243,3 +243,56 @@ def test_engine_pack_cache(tmp_path, rng):
     r1, r2 = e1.scan(q), e2.scan(q)
     assert r1.scores == r2.scores
     assert r1.reference_ids == r2.reference_ids
+
+
+def test_tile_store_disk_backed(tmp_path, rng):
+    """The pack sidecar is a disk-backed tile store: tiles load as memmap
+    views (bounded host RAM), pack_db_to_store writes a byte-identical
+    store while holding only one slab in RAM, and a streaming engine
+    scanning from the store matches the resident in-RAM engine."""
+    from cudasw4_tpu.db.format import DBData
+    from cudasw4_tpu.db.packing import (
+        load_packed, pack_db, pack_db_to_store, save_packed,
+    )
+    from cudasw4_tpu.engine import SearchEngine
+
+    lengths = np.sort(rng.integers(8, 700, size=150)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), UNKNOWN, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]): int(offsets[i]) + ln] = rng.integers(0, 20, ln)
+    db = DBData(chars=chars, offsets=offsets, lengths=lengths,
+                headers=np.zeros(0, np.uint8),
+                header_offsets=np.zeros(len(lengths) + 1, np.uint64))
+
+    packed = pack_db(db)
+    p1 = str(tmp_path / "a.tpupack.npz")
+    save_packed(packed, p1)
+    loaded = load_packed(p1, db.num_sequences, int(lengths.sum()))
+    assert isinstance(loaded.buckets[0].tiles, np.memmap)
+
+    # Slab-streamed packing produces the identical store.
+    p2 = str(tmp_path / "b.tpupack.npz")
+    packed2 = pack_db_to_store(db, p2, slab_tiles=1)
+    assert packed2 is not None
+    assert open(p1 + ".tiles", "rb").read() == open(p2 + ".tiles", "rb").read()
+    for a, b in zip(packed.buckets, packed2.buckets):
+        assert (a.L, a.NS, a.kernel) == (b.L, b.NS, b.kernel)
+        assert np.array_equal(a.tiles, b.tiles)
+        assert np.array_equal(a.seq_index, b.seq_index)
+
+    # Streaming engine reading tiles from the disk store == resident RAM.
+    query = rng.integers(0, 20, 40).astype(np.int8)
+    res_engine = SearchEngine(num_top=10)
+    res_engine.set_database(db)
+    want = res_engine.scan(query)
+
+    s_engine = SearchEngine(num_top=10, max_device_bytes=1,
+                            stream_chunk_bytes=1 << 16)
+    s_engine.set_database(db, pack_cache=p2)
+    assert s_engine.streaming
+    assert isinstance(s_engine.packed.buckets[0].tiles, np.memmap)
+    got = s_engine.scan(query)
+    assert got.scores == want.scores
+    assert got.reference_ids == want.reference_ids
