@@ -137,7 +137,9 @@ HELP = """Usage: align [options]
       --top val : Output the val best scores. Default val = 10
       --gop val : Gap open score. Overwrites the blosum-dependent default score.
       --gex val : Gap extend score. Overwrites the blosum-dependent default score.
-      --mat val : Substitution matrix: blosum45, blosum50, blosum62, blosum80. Default blosum62
+      --mat val : Substitution matrix: blosum45, blosum50, blosum62, blosum80 (classic 21-letter),
+                  or blosum45_full .. blosum80_full (25-dim with B/J/Z/X/*, the reference's
+                  CAN_USE_FULL_BLOSUM mode). Default blosum62
 
    Misc
       --of val : Result output file. Default: console output (/dev/stdout)

@@ -2,8 +2,9 @@
 
 Argument surface matches the reference makedb
 (/root/reference/src/makedb.cpp:279-374): input file, output prefix,
-optional --mem limit and --tempdir (accepted; the Python pipeline streams
-the input and spills nothing today, so they only gate a warning).
+optional --mem limit and --tempdir: under a --mem cap the builder
+spills batches to temp files and concatenates (db/format.py
+make_db_capped), byte-identical to the unbounded path.
 """
 
 from __future__ import annotations

@@ -161,12 +161,18 @@ def pack_db(
     edges=None,
     slab_tiles: int = 64,
     use_native: bool = True,
+    pad_code: int = UNKNOWN,
 ) -> PackedDB:
     """Pack a length-sorted DBData into buckets of fixed-shape tiles.
 
     ``db`` needs .chars/.offsets/.lengths (DBData or PseudoDB-adapted).
     Sequences must be sorted by length ascending (the on-disk invariant),
     so each bucket is a contiguous global-index range.
+
+    ``pad_code``: alphabet code for padded positions (UNKNOWN classic;
+    25 in full-blosum mode, where on-disk code 20 means 'B' and so every
+    position beyond a sequence's real length must carry the dedicated
+    padding code instead of the on-disk padding bytes).
     """
     if edges is None:
         edges = DEFAULT_BUCKET_EDGES
@@ -191,7 +197,7 @@ def pack_db(
                 )
             )
 
-        if use_native:
+        if use_native and pad_code == UNKNOWN:
             from ..native import pack_bucket_native
 
             native = pack_bucket_native(
@@ -202,7 +208,7 @@ def pack_db(
                 finish(*native)
                 return
 
-        tiles = np.full((T, L, NS), UNKNOWN, dtype=np.int8)
+        tiles = np.full((T, L, NS), pad_code, dtype=np.int8)
         seq_index = np.full((T, NS), -1, dtype=np.int32)
         seq_lengths = np.zeros((T, NS), dtype=np.int32)
 
@@ -219,10 +225,17 @@ def pack_db(
             padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
             idx = offs + np.minimum(jj, padlens - 1)
             block = np.take(np.asarray(chars), idx)
-            block = np.where(jj < padlens, block, UNKNOWN).astype(np.int8)
+            if pad_code == UNKNOWN:
+                # On-disk padding bytes within [len, padlen) are already
+                # UNKNOWN; masking at padlens keeps byte-parity with the
+                # native packer.
+                block = np.where(jj < padlens, block, UNKNOWN)
+            else:
+                block = np.where(jj < lengths[a:b, None], block, pad_code)
+            block = block.astype(np.int8)
             # scatter into [t1-t0, NS, L] then transpose to position-major
             nt = t1 - t0
-            slab = np.full((nt * NS, L), UNKNOWN, dtype=np.int8)
+            slab = np.full((nt * NS, L), pad_code, dtype=np.int8)
             slab[:cnt] = block
             slab = slab.reshape(nt, NS, L).transpose(0, 2, 1)
             tiles[t0:t1] = slab
@@ -299,7 +312,8 @@ def _tiles_bin_path(path: str) -> str:
     return path + ".tiles"
 
 
-def save_packed(packed: PackedDB, path: str) -> None:
+def save_packed(packed: PackedDB, path: str,
+                pad_code: int = UNKNOWN) -> None:
     """Serialize a PackedDB to a disk-backed tile store: a manifest
     (npz: meta, per-bucket info + seq_index/lengths) at ``path`` plus a
     raw int8 tile file at ``path + ".tiles"``.
@@ -313,7 +327,7 @@ def save_packed(packed: PackedDB, path: str) -> None:
     arrays = {
         "meta": np.array(
             [PACK_FORMAT_VERSION, packed.num_sequences,
-             packed.total_real_chars, len(packed.buckets)],
+             packed.total_real_chars, len(packed.buckets), pad_code],
             dtype=np.int64,
         ),
     }
@@ -337,20 +351,21 @@ def save_packed(packed: PackedDB, path: str) -> None:
 
 
 def load_packed(path: str, expect_sequences: int, expect_chars: int,
-                mmap: bool = True):
+                mmap: bool = True, expect_pad: int = UNKNOWN):
     """Load a tile store written by save_packed / pack_db_to_store;
-    returns None if missing or stale (version or database shape
-    mismatch).  ``mmap`` True keeps tiles disk-backed (bounded RAM, the
-    default); False loads them eagerly."""
+    returns None if missing or stale (version, database shape, or
+    padding-code mismatch).  ``mmap`` True keeps tiles disk-backed
+    (bounded RAM, the default); False loads them eagerly."""
     if not os.path.exists(path) or not os.path.exists(_tiles_bin_path(path)):
         return None
     try:
         z = np.load(path)
-        ver, nseq, nchars, nb = (int(x) for x in z["meta"])
+        ver, nseq, nchars, nb, pad = (int(x) for x in z["meta"])
         if (
             ver != PACK_FORMAT_VERSION
             or nseq != expect_sequences
             or nchars != expect_chars
+            or pad != expect_pad
         ):
             return None
         bin_path = _tiles_bin_path(path)
@@ -383,7 +398,8 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int,
 
 
 def pack_db_to_store(
-    db, path: str, edges=None, slab_tiles: int = 64, use_native: bool = True
+    db, path: str, edges=None, slab_tiles: int = 64,
+    use_native: bool = True, pad_code: int = UNKNOWN,
 ) -> PackedDB:
     """Pack a length-sorted database directly into a disk-backed tile
     store, holding at most one slab (``slab_tiles`` tiles) of tile data
@@ -402,7 +418,7 @@ def pack_db_to_store(
 
     def pack_slab(a, b, L, NS):
         """[ceil((b-a)/NS)] tiles covering sequences [a, b) (row layout)."""
-        if use_native:
+        if use_native and pad_code == UNKNOWN:
             from ..native import pack_bucket_native
 
             native = pack_bucket_native(
@@ -417,8 +433,12 @@ def pack_db_to_store(
         padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
         idx = offs + np.minimum(jj, padlens - 1)
         block = np.take(chars, idx)
-        block = np.where(jj < padlens, block, UNKNOWN).astype(np.int8)
-        slab = np.full((nt * NS, L), UNKNOWN, dtype=np.int8)
+        if pad_code == UNKNOWN:
+            block = np.where(jj < padlens, block, UNKNOWN)
+        else:
+            block = np.where(jj < lengths[a:b, None], block, pad_code)
+        block = block.astype(np.int8)
+        slab = np.full((nt * NS, L), pad_code, dtype=np.int8)
         slab[:cnt] = block
         tiles = slab.reshape(nt, NS, L).transpose(0, 2, 1)
         sidx = np.full(nt * NS, -1, dtype=np.int32)
@@ -449,14 +469,14 @@ def pack_db_to_store(
             offset += T * L * NS
             nb += 1
     arrays["meta"] = np.array(
-        [PACK_FORMAT_VERSION, n, int(lengths.sum()), nb], np.int64
+        [PACK_FORMAT_VERSION, n, int(lengths.sum()), nb, pad_code], np.int64
     )
     tmp = path + ".tmp"
     with open(tmp, "wb") as fm:
         np.savez(fm, **arrays)
     os.replace(tmp_bin, _tiles_bin_path(path))
     os.replace(tmp, path)
-    return load_packed(path, n, int(lengths.sum()))
+    return load_packed(path, n, int(lengths.sum()), expect_pad=pad_code)
 
 
 def unpack_tile_sequences(bucket: PackedBucket, tile: int) -> list[np.ndarray]:

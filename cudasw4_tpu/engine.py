@@ -107,6 +107,10 @@ class SearchEngine:
         if backend == "auto":
             backend = "pallas" if platform == "tpu" else "jnp"
         self.backend = backend
+        # Alphabet padding code: 20 classic, 25 full-blosum (a dedicated
+        # code whose matrix row is all-negative — padding must never be
+        # able to raise a local-alignment score).
+        self._pad = self.scoring.pad_code
         self.db: DBData | None = None
         self.packed: PackedDB | None = None
         self._scan_fn = None
@@ -128,7 +132,8 @@ class SearchEngine:
             from .db.packing import load_packed
 
             self.packed = load_packed(
-                pack_cache, db.num_sequences, int(np.sum(db.lengths))
+                pack_cache, db.num_sequences, int(np.sum(db.lengths)),
+                expect_pad=self._pad,
             )
             if self.packed is not None and self.verbose:
                 print(f"Loaded packed tiles from {pack_cache}")
@@ -140,12 +145,15 @@ class SearchEngine:
 
             try:
                 self.packed = pack_db_to_store(
-                    db, pack_cache, edges=self.bucket_edges
+                    db, pack_cache, edges=self.bucket_edges,
+                    pad_code=self._pad,
                 )
             except OSError:
                 self.packed = None  # read-only db dir: cache is best-effort
         if self.packed is None:
-            self.packed = pack_db(db, edges=self.bucket_edges)
+            self.packed = pack_db(
+                db, edges=self.bucket_edges, pad_code=self._pad
+            )
         self._matrix_flat = jnp.asarray(
             self.scoring.matrix.astype(np.int32).reshape(-1)
         )
@@ -296,6 +304,7 @@ class SearchEngine:
                                 tiles, codes, self._matrix_flat,
                                 self.scoring.gop, self.scoring.gex,
                                 exact=exact, interpret=INTERPRET,
+                                pad=self._pad,
                             ).reshape(-1)
                         )
                     else:
@@ -321,7 +330,7 @@ class SearchEngine:
 
         mesh = self.mesh
         ndev = len(mesh.devices.flat)
-        sh.pad_tiles_for_mesh(self.packed, ndev)
+        sh.pad_tiles_for_mesh(self.packed, ndev, pad=self._pad)
         tiles, seq_idx, _ = sh.shard_bucket_arrays(self.packed, mesh)
         self._sharded_tiles = tiles
         self._sharded_idx = seq_idx
@@ -347,7 +356,8 @@ class SearchEngine:
                 and any(kd == "col" for kd in kds)
             ):
                 qchunks, pcs = sh.make_query_chunks(
-                    codes, self.scoring.gop, self.scoring.gex
+                    codes, self.scoring.gop, self.scoring.gex,
+                    pad=self._pad,
                 )
                 key = ("chunked", len(qchunks), kds, exact)
                 if key not in fns:
@@ -390,7 +400,7 @@ class SearchEngine:
             # the portable XLA path (any length, tile-chunked memory) — the
             # analog of the reference's many-pass escalation for extremes.
             return self._scan_long_query(codes)
-        qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
+        qpad = np.full(self.qcap, self._pad, dtype=np.int32)
         qpad[:nq] = codes
         nq_pad = max(4, -(-nq // 4) * 4)  # column-kernel row count (x unroll)
         params = np.array(
@@ -516,7 +526,7 @@ class SearchEngine:
                     # partitions per upload the same way).
                     for s_part, base, take in batch_col_scores(
                         tiles, queries, mat_flat, params, QB, R, S,
-                        interpret=INTERPRET,
+                        interpret=INTERPRET, pad=self._pad,
                     ):
                         for si in range(take):
                             per_qb[base + si].append(
@@ -560,8 +570,8 @@ class SearchEngine:
         if getattr(self, "_batch_scan_fn", None) is None:
             self._batch_scan_fn = self._build_batch_scan_fn()
         qcap_b = self._qcap_batch
-        queries = np.full((QB, qcap_b), UNKNOWN, dtype=np.int32)
-        qpad_full = np.full((QB, self.qcap), UNKNOWN, dtype=np.int32)
+        queries = np.full((QB, qcap_b), self._pad, dtype=np.int32)
+        qpad_full = np.full((QB, self.qcap), self._pad, dtype=np.int32)
         nqs = np.zeros(QB, np.int32)
         pads = np.full(QB, 4, np.int32)
         for i, c in enumerate(group):
@@ -719,7 +729,7 @@ class SearchEngine:
                     yield from materialize(pending.popleft())
                 yield self.scan(codes)
                 continue
-            qpad = np.full(self.qcap, UNKNOWN, dtype=np.int32)
+            qpad = np.full(self.qcap, self._pad, dtype=np.int32)
             qpad[:nq] = codes
             nq_pad = max(4, -(-nq // 4) * 4)
             params = np.array(
@@ -778,7 +788,7 @@ class SearchEngine:
         shorts = [i for i, c in enumerate(group) if len(c) <= qcap_b]
         longs = [i for i, c in enumerate(group) if len(c) > qcap_b]
 
-        queries = np.full((QB, qcap_b), UNKNOWN, dtype=np.int32)
+        queries = np.full((QB, qcap_b), self._pad, dtype=np.int32)
         nqs_b = np.zeros(QB, np.int32)
         pads_b = np.full(QB, 4, np.int32)
         for slot, i in enumerate(shorts):
@@ -793,13 +803,13 @@ class SearchEngine:
         qb_dev = jnp.asarray(queries)
         # Full-query pads: kernel-capacity width for kernel paths, plus a
         # wide variant per over-capacity query for the portable scorer.
-        qpad_full = np.full((n, self.qcap), UNKNOWN, dtype=np.int32)
+        qpad_full = np.full((n, self.qcap), self._pad, dtype=np.int32)
         wide = {}
         for i, c in enumerate(group):
             if len(c) <= self.qcap:
                 qpad_full[i, : len(c)] = c
             else:
-                w = np.full(_round_up(len(c), 256), UNKNOWN, np.int32)
+                w = np.full(_round_up(len(c), 256), self._pad, np.int32)
                 w[: len(c)] = c
                 wide[i] = jnp.asarray(w)
         qfull_dev = jnp.asarray(qpad_full)
@@ -839,9 +849,11 @@ class SearchEngine:
                 if ndev == 1:
                     return sw_pallas_col.score_bucket_col_any_query(
                         xdev, c, self._matrix_flat, gop, gex, exact=True,
-                        interpret=INTERPRET,
+                        interpret=INTERPRET, pad=self._pad,
                     )
-                qchunks, pcs = sh.make_query_chunks(c, gop, gex)
+                qchunks, pcs = sh.make_query_chunks(
+                    c, gop, gex, pad=self._pad
+                )
                 fn = stream_fn(
                     ("colchunk", len(qchunks)),
                     lambda: sh.build_sharded_col_chunked_scorer(
@@ -909,6 +921,7 @@ class SearchEngine:
                     for s_part, base, take in batch_col_scores(
                         xdev, qb_dev, self._matrix_flat, pdev, QB, R, S,
                         interpret=INTERPRET, count=count, scorer=scorer,
+                        pad=self._pad,
                     ):
                         for si in range(min(take, len(shorts) - base)):
                             rows[shorts[base + si]] = s_part[si]
@@ -985,7 +998,8 @@ class SearchEngine:
                     pad = ct - (t1 - t0)
                     chunk = np.concatenate(
                         [chunk,
-                         np.full((pad,) + b.tiles.shape[1:], UNKNOWN, np.int8)]
+                         np.full((pad,) + b.tiles.shape[1:], self._pad,
+                                 np.int8)]
                     )
                     sidx = np.concatenate(
                         [sidx, np.full((pad, b.NS), -1, np.int32)]
@@ -1004,7 +1018,7 @@ class SearchEngine:
 
         nq = len(codes)
         qpad_len = max(self.qcap, _round_up(nq, 256))
-        qpad = np.full(qpad_len, UNKNOWN, dtype=np.int32)
+        qpad = np.full(qpad_len, self._pad, dtype=np.int32)
         qpad[:nq] = codes
         nq_pad = max(4, -(-nq // 4) * 4)
         t0 = time.perf_counter()
@@ -1037,7 +1051,7 @@ class SearchEngine:
                 s = sw_pallas_col.score_bucket_col_any_query(
                     tiles, codes, self._matrix_flat,
                     self.scoring.gop, self.scoring.gex,
-                    exact=True, interpret=INTERPRET,
+                    exact=True, interpret=INTERPRET, pad=self._pad,
                 )
             else:
                 s = score_tiles_jnp_chunked(

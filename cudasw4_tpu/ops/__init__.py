@@ -64,6 +64,7 @@ def score_bucket(
 def batch_col_scores(
     tiles, queries, mat_flat, params, QB: int, R: int, S: int,
     interpret: bool = False, count: int | None = None, scorer=None,
+    pad: int | None = None,
 ):
     """Score a col bucket for a QB-query batch in ceil(QB/S) passes of the
     multi-slot column kernel (one tile stream + LUT build per pass).
@@ -95,7 +96,8 @@ def batch_col_scores(
         pc = params[4 + QB + base : 4 + QB + base + take]
         if take < S:
             qs = jnp.pad(
-                qs, ((0, S - take), (0, 0)), constant_values=UNKNOWN
+                qs, ((0, S - take), (0, 0)),
+                constant_values=UNKNOWN if pad is None else pad,
             )
             pc = jnp.pad(pc, (0, S - take), constant_values=4)
         pcol = jnp.concatenate([params[:4], pc])

@@ -69,7 +69,7 @@ def _excl_cummax(u, neg):
     return v
 
 
-def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, m_ref, *, L, NS, dtype=jnp.int32):
+def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, m_ref, *, L, NS, dtype=jnp.int32, A=ALPHABET_SIZE):
     """One grid step = one tile of NS subjects, full query sweep.
 
     ``dtype``: DP lane type — int32 by default (scores are integers and i32
@@ -89,12 +89,12 @@ def _sw_kernel(params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref, 
     # build is amortised over the nq-step query sweep.
     # (Mosaic vector arithmetic needs i16/i32; int8 is storage-only.)
     xi = x.astype(jnp.int32)  # i8 compares unsupported; widen once
-    for t in range(ALPHABET_SIZE):
-        base = b_ref[t * ALPHABET_SIZE + UNKNOWN]
+    for t in range(A):
+        base = b_ref[t * A + (A - 1)]
         row = jnp.full((L, NS), base, jnp.int32)
-        for u in range(UNKNOWN):
+        for u in range(A - 1):
             row = row + (xi == u).astype(jnp.int32) * (
-                b_ref[t * ALPHABET_SIZE + u] - base
+                b_ref[t * A + u] - base
             )
         lut_ref[t] = row.astype(jnp.int8)
 
@@ -144,6 +144,9 @@ def score_bucket_pallas(
 ) -> jax.Array:
     """Scores f32 [T, NS]; one pallas_call, grid over tiles."""
     T, L, NS = tiles.shape
+    from .sw_pallas_cell import _alphabet_dim
+
+    A = _alphabet_dim(matrix_flat)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -153,19 +156,19 @@ def score_bucket_pallas(
         ],
         out_specs=pl.BlockSpec((1, 8, NS), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((ALPHABET_SIZE, L, NS), jnp.int8),
+            pltpu.VMEM((A, L, NS), jnp.int8),
             pltpu.VMEM((L, NS), jnp.int32),
             pltpu.VMEM((L, NS), jnp.int32),
             pltpu.VMEM((L, NS), jnp.int32),
         ],
     )
 
-    kernel = functools.partial(_sw_kernel, L=L, NS=NS)
+    kernel = functools.partial(_sw_kernel, L=L, NS=NS, A=A)
     # Scoped-VMEM budget: LUT (int8) + 3 state arrays (f32) + pipelined input
     # blocks + temporaries of the unrolled scan.  The default 16M scoped
     # limit is too tight for large tiles; request what we actually need.
     elems = L * NS
-    vmem_bytes = elems * (ALPHABET_SIZE + 2) + 3 * elems * 4 + 24 * elems * 4
+    vmem_bytes = elems * (A + 2) + 3 * elems * 4 + 24 * elems * 4
     vmem_bytes = max(vmem_bytes, 32 * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
@@ -177,14 +180,14 @@ def score_bucket_pallas(
     return out[:, 0, :]
 
 
-def prepare_query(query_codes, qcap: int = QCAP):
-    """Pad encoded query to [qcap] int32 (UNKNOWN padding) + count."""
+def prepare_query(query_codes, qcap: int = QCAP, pad: int | None = None):
+    """Pad encoded query to [qcap] int32 (padding code, UNKNOWN default) + count."""
     import numpy as np
 
     q = np.asarray(query_codes, dtype=np.int32)
     nq = len(q)
     if nq > qcap:
         raise ValueError(f"query of length {nq} exceeds kernel capacity {qcap}")
-    out = np.full(qcap, UNKNOWN, dtype=np.int32)
+    out = np.full(qcap, UNKNOWN if pad is None else pad, dtype=np.int32)
     out[:nq] = q
     return out, nq

@@ -66,14 +66,29 @@ SUBJECTS_PER_TILE = G * NSL
 QCAP = 8192
 
 
-def build_sub_lut(x_ref, b_ref, lut_ref, shape, rows: int = 8):
+def _alphabet_dim(matrix_flat) -> int:
+    """Alphabet size from a flattened [A*A] substitution matrix (21
+    classic, 26 full-blosum; static at trace time)."""
+    n = matrix_flat.shape[0]
+    a = int(round(n ** 0.5))
+    assert a * a == n, n
+    return a
+
+
+def build_sub_lut(x_ref, b_ref, lut_ref, shape, rows: int = 8,
+                  A: int = ALPHABET_SIZE):
     """Fill lut_ref[t] = B[t, x] for all t (the per-tile substitution LUT,
     the TPU stand-in for the reference's shared-memory pairwise BLOSUM
     cache, /root/reference/src/half2_kernels.cuh:57-65).
 
+    ``A``: alphabet size — 21 classic or 26 full-blosum (codes 0..24 plus
+    the dedicated padding code 25).  The base code of the select chain is
+    A-1 (the padding code — its matrix row is constant, so the delta trick
+    stays valid in both modes).
+
     Arithmetic select (not jnp.where: SMEM-scalar where miscompiles on
     some Mosaic versions).  Two structural constraints drive the shape of
-    this code: (a) the 21 plane builds run in a fori_loop, not unrolled —
+    this code: (a) the A plane builds run in a fori_loop, not unrolled —
     unrolled they put >100 MB of live i32 temporaries on the VMEM stack;
     (b) each plane is built in ``rows``-row chunks so the select chain's
     temporaries fit in vector registers — full-plane chains materialise
@@ -89,16 +104,16 @@ def build_sub_lut(x_ref, b_ref, lut_ref, shape, rows: int = 8):
         t = i // nchunks
         lc = (i % nchunks) * rows
         xi = x_ref[0, pl.ds(lc, rows)].astype(jnp.int32)
-        base = b_ref[t * ALPHABET_SIZE + UNKNOWN]
+        base = b_ref[t * A + (A - 1)]
         row = jnp.full((rows,) + tail, base, jnp.int32)
-        for u in range(UNKNOWN):
+        for u in range(A - 1):
             row = row + (xi == u).astype(jnp.int32) * (
-                b_ref[t * ALPHABET_SIZE + u] - base
+                b_ref[t * A + u] - base
             )
         lut_ref[t, pl.ds(lc, rows)] = row.astype(jnp.int8)
         return 0
 
-    jax.lax.fori_loop(0, ALPHABET_SIZE * nchunks, build_chunk, 0)
+    jax.lax.fori_loop(0, A * nchunks, build_chunk, 0)
 
 
 def _run_query_sweeps(
@@ -174,14 +189,14 @@ def _run_query_sweeps(
 
 def _sw_cell_kernel(
     params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
-    *, L, U, G, NSL, state_dtype=jnp.int16
+    *, L, U, G, NSL, state_dtype=jnp.int16, A=ALPHABET_SIZE
 ):
     """One grid step = one tile of G*NSL subjects, full query sweep."""
     nq = params_ref[0]
     gop = params_ref[1]
     gex = params_ref[2]
 
-    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
+    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL), A=A)
 
     # Loop-carry initialisers must have a concrete (non-replicated) vector
     # layout or Mosaic rejects the loop phi ("Invalid relayout: ... is
@@ -200,7 +215,7 @@ def _sw_cell_kernel(
 
 def _sw_cell_batch_kernel(
     params_ref, q_ref, b_ref, x_ref, out_ref, lut_ref, h_ref, f_ref,
-    *, L, U, G, NSL, QB, state_dtype=jnp.int32
+    *, L, U, G, NSL, QB, state_dtype=jnp.int32, A=ALPHABET_SIZE
 ):
     """One grid step = one tile of G*NSL subjects x QB queries.
 
@@ -213,7 +228,7 @@ def _sw_cell_batch_kernel(
     gop = params_ref[1]
     gex = params_ref[2]
 
-    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL))
+    build_sub_lut(x_ref, b_ref, lut_ref, (L, G, NSL), A=A)
 
     zero = h_ref[0].astype(jnp.int32) * 0  # [G, NSL] zeros (see above)
     negv = zero + NEG
@@ -253,6 +268,7 @@ def score_bucket_pallas_cell_batch(
     """Scores f32 [QB, T, g*nsl]: QB queries per tile pass."""
     T, L, g, nsl = tiles.shape
     QB = queries.shape[0]
+    A = _alphabet_dim(matrix_flat)
     assert g % G == 0 and nsl % NSL == 0, (g, nsl)
     assert L % unroll == 0, (L, unroll)
     state_dtype = jnp.int32 if exact else jnp.int16
@@ -266,18 +282,18 @@ def score_bucket_pallas_cell_batch(
         ],
         out_specs=pl.BlockSpec((1, QB, g, nsl), lambda t, *_: (t, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((ALPHABET_SIZE, L, g, nsl), jnp.int8),
+            pltpu.VMEM((A, L, g, nsl), jnp.int8),
             pltpu.VMEM((L, g, nsl), state_dtype),
             pltpu.VMEM((L, g, nsl), state_dtype),
         ],
     )
     kernel = functools.partial(
         _sw_cell_batch_kernel, L=L, U=unroll, G=g, NSL=nsl, QB=QB,
-        state_dtype=state_dtype,
+        state_dtype=state_dtype, A=A,
     )
     elems = L * g * nsl
     vmem_bytes = (
-        elems * (ALPHABET_SIZE + 2)
+        elems * (A + 2)
         + 2 * elems * state_bytes
         + 4 * elems * 4
         + 2 * QB * g * nsl * 4
@@ -295,7 +311,8 @@ def score_bucket_pallas_cell_batch(
 
 def _sw_cell_kernel_manual(
     params_ref, q_ref, b_ref, x_hbm, out_ref, ring, lut_ref, h_ref, f_ref,
-    sem, *, L, U, G, NSL, T, state_dtype=jnp.int32, priority=0
+    sem, *, L, U, G, NSL, T, state_dtype=jnp.int32, priority=0,
+    A=ALPHABET_SIZE
 ):
     """Cell kernel with manual double-buffered input staging.
 
@@ -330,7 +347,7 @@ def _sw_cell_kernel_manual(
     nq = params_ref[0]
     gop = params_ref[1]
     gex = params_ref[2]
-    build_sub_lut(ring.at[slot], b_ref, lut_ref, (L, G, NSL))
+    build_sub_lut(ring.at[slot], b_ref, lut_ref, (L, G, NSL), A=A)
     zero = h_ref[0].astype(jnp.int32) * 0
     negv = zero + NEG
     m = _run_query_sweeps(
@@ -359,6 +376,7 @@ def score_bucket_pallas_cell_manual(
     assert g % G == 0 and nsl % NSL == 0, (g, nsl)
     assert L % unroll == 0, (L, unroll)
     assert unroll >= 2, unroll
+    A = _alphabet_dim(matrix_flat)
     state_dtype = jnp.int32 if exact else jnp.int16
     state_bytes = 4 if exact else 2
 
@@ -369,7 +387,7 @@ def score_bucket_pallas_cell_manual(
         out_specs=pl.BlockSpec((1, g, nsl), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 1, L, g, nsl), jnp.int8),
-            pltpu.VMEM((ALPHABET_SIZE, L, g, nsl), jnp.int8),
+            pltpu.VMEM((A, L, g, nsl), jnp.int8),
             pltpu.VMEM((L, g, nsl), state_dtype),
             pltpu.VMEM((L, g, nsl), state_dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -377,11 +395,11 @@ def score_bucket_pallas_cell_manual(
     )
     kernel = functools.partial(
         _sw_cell_kernel_manual, L=L, U=unroll, G=g, NSL=nsl, T=T,
-        state_dtype=state_dtype, priority=priority,
+        state_dtype=state_dtype, priority=priority, A=A,
     )
     elems = L * g * nsl
     vmem_bytes = (
-        elems * (ALPHABET_SIZE + 2)
+        elems * (A + 2)
         + 2 * elems * state_bytes
         + 4 * elems * 4
     )
@@ -421,6 +439,7 @@ def score_bucket_pallas_cell(
     # unroll=1 trips the Mosaic replicated-layout phi bug (a 1-element
     # jnp.stack folds to a splat); production never uses it.
     assert unroll >= 2, unroll
+    A = _alphabet_dim(matrix_flat)
     state_dtype = jnp.int32 if exact else jnp.int16
     state_bytes = 4 if exact else 2
 
@@ -432,20 +451,21 @@ def score_bucket_pallas_cell(
         ],
         out_specs=pl.BlockSpec((1, g, nsl), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((ALPHABET_SIZE, L, g, nsl), jnp.int8),
+            pltpu.VMEM((A, L, g, nsl), jnp.int8),
             pltpu.VMEM((L, g, nsl), state_dtype),
             pltpu.VMEM((L, g, nsl), state_dtype),
         ],
     )
 
     kernel = functools.partial(
-        _sw_cell_kernel, L=L, U=unroll, G=g, NSL=nsl, state_dtype=state_dtype
+        _sw_cell_kernel, L=L, U=unroll, G=g, NSL=nsl,
+        state_dtype=state_dtype, A=A,
     )
     elems = L * g * nsl
     # LUT (i8) + X (i8, double-buffered input) + 2 state arrays +
     # headroom for the LUT build's temporaries (bounded by the fori_loop).
     vmem_bytes = (
-        elems * (ALPHABET_SIZE + 2)
+        elems * (A + 2)
         + 2 * elems * state_bytes
         + 4 * elems * 4
     )

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import ALPHABET_SIZE
-from .sw_pallas_cell import G, NSL, NEG, SAT, build_sub_lut
+from .sw_pallas_cell import G, NSL, NEG, SAT, _alphabet_dim, build_sub_lut
 
 #: int16-state stand-in for -inf (E's virtual column init); E >= gop from
 #: the first computed column, so any value < gop works.
@@ -53,7 +53,7 @@ NQC = 1024
 
 
 def _sw_col_kernel(refs, *, LCk, U, take_init, emit_state,
-                   state_dtype=jnp.int16):
+                   state_dtype=jnp.int16, A=ALPHABET_SIZE):
     if take_init and emit_state:
         (params_ref, q_ref, b_ref, x_ref, hin_ref, fin_ref,
          out_ref, hout_ref, fout_ref,
@@ -74,7 +74,7 @@ def _sw_col_kernel(refs, *, LCk, U, take_init, emit_state,
     gex = params_ref[2]
     c = pl.program_id(1)
 
-    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL))
+    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL), A=A)
 
     narrow = state_dtype != jnp.int32
     sat = jnp.int32(SAT)
@@ -195,6 +195,7 @@ def score_bucket_pallas_col(
     a score >= SAT flags 16-bit overflow — re-run with ``exact=True``.
     """
     T, L, g, nsl = tiles.shape
+    A = _alphabet_dim(matrix_flat)
     assert (g, nsl) == (G, NSL), (g, nsl)
     assert L % LC == 0, L
     assert take_init == (state_in is not None)
@@ -228,7 +229,7 @@ def score_bucket_pallas_col(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((ALPHABET_SIZE, LC, g, nsl), jnp.int8),
+            pltpu.VMEM((A, LC, g, nsl), jnp.int8),
             pltpu.VMEM((NQC, g, nsl), state_dtype),
             pltpu.VMEM((NQC, g, nsl), state_dtype),
             pltpu.VMEM((g, nsl), jnp.int32),
@@ -239,11 +240,12 @@ def score_bucket_pallas_col(
     kernel = functools.partial(
         _sw_col_kernel_entry, LCk=LC, U=unroll,
         take_init=take_init, emit_state=emit_state, state_dtype=state_dtype,
+        A=A,
     )
     chunk = LC * g * nsl
     state = NQC * g * nsl * 4 * 2
     io = chunk * (2 + 4 * (2 * int(take_init) + 2 * int(emit_state)))
-    vmem_bytes = chunk * ALPHABET_SIZE + state + io + 8 * chunk * 4
+    vmem_bytes = chunk * A + state + io + 8 * chunk * 4
     vmem_bytes = min(max(int(vmem_bytes), 48 << 20), 100 << 20)
     res = pl.pallas_call(
         kernel,
@@ -258,14 +260,16 @@ def score_bucket_pallas_col(
     return scores
 
 
-def _sw_col_kernel_entry(*refs, LCk, U, take_init, emit_state, state_dtype):
+def _sw_col_kernel_entry(*refs, LCk, U, take_init, emit_state, state_dtype,
+                         A=ALPHABET_SIZE):
     _sw_col_kernel(refs, LCk=LCk, U=U, take_init=take_init,
-                   emit_state=emit_state, state_dtype=state_dtype)
+                   emit_state=emit_state, state_dtype=state_dtype, A=A)
 
 
-def pad_query_chunk(codes, unroll: int = 4):
+def pad_query_chunk(codes, unroll: int = 4, pad: int | None = None):
     """Pad one query chunk to a multiple of ``unroll`` (and at least 1
-    slab), returning (qpad [NQC] int32, nq_pad)."""
+    slab), returning (qpad [NQC] int32, nq_pad).  ``pad``: padding code
+    (UNKNOWN classic, 25 full-blosum)."""
     import numpy as np
 
     from ..constants import UNKNOWN
@@ -273,14 +277,14 @@ def pad_query_chunk(codes, unroll: int = 4):
     nq = len(codes)
     assert nq <= NQC, (nq, NQC)
     nq_pad = max(unroll, -(-nq // unroll) * unroll)
-    out = np.full(NQC, UNKNOWN, dtype=np.int32)
+    out = np.full(NQC, UNKNOWN if pad is None else pad, dtype=np.int32)
     out[:nq] = codes
     return out, nq_pad
 
 
 def score_bucket_col_any_query(
     tiles, codes, matrix_flat, gop: int, gex: int, unroll: int = 4,
-    interpret: bool = False, exact: bool = False,
+    interpret: bool = False, exact: bool = False, pad: int | None = None,
 ):
     """Score a col-layout bucket against a query of any length by chunking
     the query into NQC-row passes with H/F boundary carry through HBM.
@@ -295,7 +299,7 @@ def score_bucket_col_any_query(
     best = None
     state = None
     for k, chunk in enumerate(chunks):
-        qpad, nq_pad = pad_query_chunk(chunk, unroll)
+        qpad, nq_pad = pad_query_chunk(chunk, unroll, pad=pad)
         params = jnp.asarray(
             np.array([nq_pad, gop, gex, 0], dtype=np.int32)
         )
@@ -314,7 +318,8 @@ def score_bucket_col_any_query(
     return best
 
 
-def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32):
+def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,
+                         A=ALPHABET_SIZE):
     """Multi-query column kernel: S query slots of up to R rows each share
     one streamed subject chunk and one substitution LUT per grid step.
 
@@ -334,7 +339,7 @@ def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32):
     gex = params_ref[2]
     c = pl.program_id(1)
 
-    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL))
+    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL), A=A)
 
     narrow = state_dtype != jnp.int32
     sat = jnp.int32(SAT)
@@ -415,9 +420,10 @@ def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32):
     out_ref[0] = m_ref[...].astype(jnp.float32)
 
 
-def _sw_col_batch_kernel_entry(*refs, LCk, U, S, R, state_dtype):
+def _sw_col_batch_kernel_entry(*refs, LCk, U, S, R, state_dtype,
+                               A=ALPHABET_SIZE):
     _sw_col_batch_kernel(refs, LCk=LCk, U=U, S=S, R=R,
-                         state_dtype=state_dtype)
+                         state_dtype=state_dtype, A=A)
 
 
 @functools.partial(
@@ -439,6 +445,7 @@ def score_bucket_pallas_col_batch(
     never beat real hits, B[UNKNOWN][.] < 0)."""
     T, L, g, nsl = tiles.shape
     S, R = queries.shape
+    A = _alphabet_dim(matrix_flat)
     assert (g, nsl) == (G, NSL), (g, nsl)
     assert L % LC == 0, L
     assert R % unroll == 0, (R, unroll)
@@ -456,7 +463,7 @@ def score_bucket_pallas_col_batch(
             pl.BlockSpec((1, S, g, nsl), lambda t, c, *_: (t, 0, 0, 0))
         ],
         scratch_shapes=[
-            pltpu.VMEM((ALPHABET_SIZE, LC, g, nsl), jnp.int8),
+            pltpu.VMEM((A, LC, g, nsl), jnp.int8),
             pltpu.VMEM((S, R, g, nsl), state_dtype),
             pltpu.VMEM((S, R, g, nsl), state_dtype),
             pltpu.VMEM((S, g, nsl), jnp.int32),
@@ -465,11 +472,11 @@ def score_bucket_pallas_col_batch(
     )
     kernel = functools.partial(
         _sw_col_batch_kernel_entry, LCk=LC, U=unroll, S=S, R=R,
-        state_dtype=state_dtype,
+        state_dtype=state_dtype, A=A,
     )
     chunk = LC * g * nsl
     state = 2 * S * R * g * nsl * state_bytes
-    vmem_bytes = chunk * ALPHABET_SIZE + state + 4 * chunk + 8 * chunk * 4
+    vmem_bytes = chunk * A + state + 4 * chunk + 8 * chunk * 4
     vmem_bytes = min(max(int(vmem_bytes), 48 << 20), 100 << 20)
     res = pl.pallas_call(
         kernel,

@@ -53,7 +53,8 @@ def _merge_topk(scores, ids, k: int, axis: str):
     return vfin, jnp.take(ig, ifin)
 
 
-def make_query_chunks(codes, gop: int, gex: int, unroll: int = 4):
+def make_query_chunks(codes, gop: int, gex: int, unroll: int = 4,
+                      pad: int | None = None):
     """Split an encoded query into NQC-row chunks for the column kernel's
     boundary-carry multi-pass (qchunks [C, NQC] int32, pcs [C, 4] int32)."""
     from ..ops import sw_pallas_col
@@ -62,7 +63,7 @@ def make_query_chunks(codes, gop: int, gex: int, unroll: int = 4):
     qs, ps = [], []
     for s in range(0, max(n, 1), sw_pallas_col.NQC):
         qpad, nq_pad = sw_pallas_col.pad_query_chunk(
-            codes[s : s + sw_pallas_col.NQC], unroll
+            codes[s : s + sw_pallas_col.NQC], unroll, pad=pad
         )
         qs.append(qpad)
         ps.append([nq_pad, gop, gex, 0])
@@ -94,7 +95,8 @@ def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
     return best
 
 
-def pad_tiles_for_mesh(packed: PackedDB, ndev: int) -> None:
+def pad_tiles_for_mesh(packed: PackedDB, ndev: int,
+                       pad: int = UNKNOWN) -> None:
     """Pad each bucket's tile count to a multiple of ndev (in place), adding
     all-padding tiles (seq_index=-1) that can never win top-k."""
     for b in packed.buckets:
@@ -104,7 +106,7 @@ def pad_tiles_for_mesh(packed: PackedDB, ndev: int) -> None:
             continue
         extra = Tp - T
         b.tiles = np.concatenate(
-            [b.tiles, np.full((extra,) + b.tiles.shape[1:], UNKNOWN, np.int8)]
+            [b.tiles, np.full((extra,) + b.tiles.shape[1:], pad, np.int8)]
         )
         b.seq_index = np.concatenate(
             [b.seq_index, np.full((extra, b.NS), -1, np.int32)]

@@ -236,6 +236,26 @@ def _make_full(core: np.ndarray, name: str) -> np.ndarray:
     return m
 
 
+def _make_full26(core: np.ndarray, name: str) -> np.ndarray:
+    """The engine's full-blosum scoring matrix: the 25-dim table
+    (A..V, B, J, Z, X, *) plus a 26th dedicated padding code whose
+    row/column is the constant ``low`` penalty.
+
+    The reference scores only real subject positions (per-sequence exact
+    lengths), so its full mode can let code 20 mean 'B'
+    (/root/reference/src/types.hpp:205-396 with ConvertAA_20).  Our tiles
+    score the padded extent, so padding must be a code whose row can
+    never raise a local-alignment score — B's row has positive entries.
+    Code 25 = padding (all ``low`` <= -4) resolves the round-1 limitation
+    without dropping the mode.
+    """
+    m = np.full((26, 26), _LOW[name], dtype=np.int32)
+    m[:25, :25] = _make_full(core, name)
+    assert np.array_equal(m, m.T)
+    assert (m[25] < 0).all()
+    return m
+
+
 _CORES = {
     "blosum45": _parse_core(_BLOSUM45_CORE),
     "blosum50": _parse_core(_BLOSUM50_CORE),
@@ -245,6 +265,7 @@ _CORES = {
 
 MATRICES_20 = {name: _make_20(core, _LOW[name]) for name, core in _CORES.items()}
 MATRICES_FULL = {name: _make_full(c, name) for name, c in _CORES.items()}
+MATRICES_FULL26 = {name: _make_full26(c, name) for name, c in _CORES.items()}
 
 
 @dataclass(frozen=True)
@@ -266,13 +287,35 @@ class ScoringConfig:
         return self.blosum.value.replace("_20", "")
 
     @property
+    def is_full(self) -> bool:
+        """Full-blosum mode (the reference's CAN_USE_FULL_BLOSUM build):
+        a non-_20 BlosumType scores code 20 as 'B' via the 25-dim table
+        instead of the constant ``low`` penalty."""
+        return not self.blosum.value.endswith("_20")
+
+    @property
     def matrix(self) -> np.ndarray:
-        """The 21x21 matrix used by the engine (alphabet codes 0..20)."""
+        """The engine scoring matrix: 21x21 classic (codes 0..20, code 20
+        = catch-all "other"/padding) or 26x26 full-blosum (codes 0..24 =
+        A..V B J Z X *, code 25 = padding)."""
+        if self.is_full:
+            return MATRICES_FULL26[self.base_name]
         return MATRICES_20[self.base_name]
 
     @property
+    def pad_code(self) -> int:
+        """Alphabet code used for subject/query padding (can never raise
+        a local-alignment score: its matrix row is all ``low``)."""
+        return 25 if self.is_full else 20
+
+    @property
+    def alphabet_size(self) -> int:
+        return self.matrix.shape[0]
+
+    @property
     def full_matrix(self) -> np.ndarray:
-        """The 25-dim matrix with B/J/Z/X/* (full-blosum option)."""
+        """The raw 25-dim reference table with B/J/Z/X/*
+        (/root/reference/src/types.hpp:205-396)."""
         return MATRICES_FULL[self.base_name]
 
 
@@ -281,12 +324,25 @@ def make_scoring_config(
     gop: int | None = None,
     gex: int | None = None,
 ) -> ScoringConfig:
-    """Build a ScoringConfig with matrix-dependent default gap penalties."""
+    """Build a ScoringConfig with matrix-dependent default gap penalties.
+
+    String shorthands: ``"blosum62"`` (and the ``_20`` forms) select the
+    classic 21-letter scoring; ``"blosum62_full"`` selects full-blosum
+    mode (the 25-dim table with B/J/Z/X/*, the reference's
+    CAN_USE_FULL_BLOSUM build — there, the plain name means the full
+    table).  Passing a BlosumType enum uses the enum's own semantics
+    (non-_20 enums are full).
+    """
     if isinstance(blosum, str):
         name = blosum.lower()
         if not name.startswith("blosum"):
             raise ValueError(f"Unknown substitution matrix: {blosum}")
-        blosum = BlosumType(name)
+        if name.endswith("_full"):
+            blosum = BlosumType(name[: -len("_full")])
+        elif not name.endswith("_20"):
+            blosum = BlosumType(name + "_20")
+        else:
+            blosum = BlosumType(name)
     base = blosum.value.replace("_20", "")
     dgop, dgex = _GAP_DEFAULTS[base]
     cfg = ScoringConfig(

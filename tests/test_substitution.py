@@ -51,4 +51,7 @@ def test_gap_defaults():
     assert (make_scoring_config("blosum80").gop, make_scoring_config("blosum80").gex) == (-10, -1)
     cfg = make_scoring_config("blosum62", gop=-5, gex=-2)
     assert (cfg.gop, cfg.gex) == (-5, -2)
-    assert cfg.blosum == BlosumType.BLOSUM62
+    # plain names are the classic 21-letter mode; _full selects the
+    # 25-dim table (the reference full build's plain-name semantics)
+    assert cfg.blosum == BlosumType.BLOSUM62_20
+    assert make_scoring_config("blosum62_full").blosum == BlosumType.BLOSUM62
