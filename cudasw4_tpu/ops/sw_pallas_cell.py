@@ -383,7 +383,7 @@ def score_bucket_pallas_cell_manual(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, g, nsl), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 1, L, g, nsl), jnp.int8),

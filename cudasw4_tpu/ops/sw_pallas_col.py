@@ -282,12 +282,29 @@ def pad_query_chunk(codes, unroll: int = 4, pad: int | None = None):
     return out, nq_pad
 
 
+#: HBM budget for the chunked-query boundary-carry temp (H/F bottom rows,
+#: 2 x int32 per tile char = 8x the tile bytes).  Buckets whose carry
+#: would exceed this are processed in tile groups, each running the full
+#: query-chunk loop before the next group starts — the exact analog of
+#: the reference's maxTempBytes subject batching for its 4 GiB multi-pass
+#: temp (/root/reference/src/cudasw4.cuh:1928-1947).  In+out states live
+#: simultaneously, so peak HBM use is ~2x this value.
+import os as _os
+
+COL_CARRY_TEMP_BYTES = int(
+    _os.environ.get("CUDASW4_TPU_COL_TEMP_BYTES", 2 << 30)
+)
+
+
 def score_bucket_col_any_query(
     tiles, codes, matrix_flat, gop: int, gex: int, unroll: int = 4,
     interpret: bool = False, exact: bool = False, pad: int | None = None,
+    temp_bytes: int | None = None,
 ):
     """Score a col-layout bucket against a query of any length by chunking
-    the query into NQC-row passes with H/F boundary carry through HBM.
+    the query into NQC-row passes with H/F boundary carry through HBM,
+    processing tiles in groups that bound the carry temp (see
+    COL_CARRY_TEMP_BYTES).
 
     ``codes``: encoded query (numpy int8/int32, host).  Returns f32
     [T, G*NSL] scores (device array).
@@ -296,26 +313,39 @@ def score_bucket_col_any_query(
 
     n = len(codes)
     chunks = [codes[s : s + NQC] for s in range(0, n, NQC)] or [codes]
-    best = None
-    state = None
-    for k, chunk in enumerate(chunks):
+    qps = []
+    for chunk in chunks:
         qpad, nq_pad = pad_query_chunk(chunk, unroll, pad=pad)
-        params = jnp.asarray(
-            np.array([nq_pad, gop, gex, 0], dtype=np.int32)
-        )
-        emit = k + 1 < len(chunks)
-        res = score_bucket_pallas_col(
-            tiles, jnp.asarray(qpad), matrix_flat, params,
-            state_in=state, take_init=state is not None,
-            emit_state=emit, interpret=interpret, unroll=unroll,
-            exact=exact,
-        )
-        if emit:
-            scores, state = res
-        else:
-            scores, state = res, None
-        best = scores if best is None else jnp.maximum(best, scores)
-    return best
+        qps.append((
+            jnp.asarray(qpad),
+            jnp.asarray(np.array([nq_pad, gop, gex, 0], dtype=np.int32)),
+        ))
+
+    T, L, g, nsl = tiles.shape
+    budget = COL_CARRY_TEMP_BYTES if temp_bytes is None else temp_bytes
+    per_tile_state = 2 * L * g * nsl * 4
+    tc = T if len(chunks) == 1 else max(1, min(T, budget // per_tile_state))
+
+    parts = []
+    for t0 in range(0, T, tc):
+        sub = tiles[t0 : t0 + tc]
+        best = None
+        state = None
+        for k, (qpad, params) in enumerate(qps):
+            emit = k + 1 < len(qps)
+            res = score_bucket_pallas_col(
+                sub, qpad, matrix_flat, params,
+                state_in=state, take_init=state is not None,
+                emit_state=emit, interpret=interpret, unroll=unroll,
+                exact=exact,
+            )
+            if emit:
+                scores, state = res
+            else:
+                scores, state = res, None
+            best = scores if best is None else jnp.maximum(best, scores)
+        parts.append(best)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,

@@ -75,24 +75,35 @@ def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
     the H/F bottom-row boundary carries between query chunks inside the
     jit, so state never crosses the shard_map (it is per-subject, hence
     per-shard — the analog of the reference's per-GPU 4 GiB temp,
-    /root/reference/src/cudasw4.cuh:1928-1947)."""
+    /root/reference/src/cudasw4.cuh:1928-1947).  Tiles are processed in
+    groups bounding the carry temp (COL_CARRY_TEMP_BYTES per shard),
+    mirroring the reference's maxTempBytes subject batching."""
     from ..ops import INTERPRET, sw_pallas_col
 
-    best = None
-    state = None
-    for c in range(nchunks):
-        emit = c + 1 < nchunks
-        res = sw_pallas_col.score_bucket_pallas_col(
-            tiles, qchunks[c], mat_flat, pcs[c],
-            state_in=state, take_init=c > 0, emit_state=emit,
-            exact=exact, interpret=INTERPRET,
-        )
-        if emit:
-            scores, state = res
-        else:
-            scores = res
-        best = scores if best is None else jnp.maximum(best, scores)
-    return best
+    T, L, g, nsl = tiles.shape
+    per_tile = 2 * L * g * nsl * 4
+    tc = T if nchunks == 1 else max(
+        1, min(T, sw_pallas_col.COL_CARRY_TEMP_BYTES // per_tile)
+    )
+    parts = []
+    for t0 in range(0, T, tc):
+        sub = tiles[t0 : t0 + tc]
+        best = None
+        state = None
+        for c in range(nchunks):
+            emit = c + 1 < nchunks
+            res = sw_pallas_col.score_bucket_pallas_col(
+                sub, qchunks[c], mat_flat, pcs[c],
+                state_in=state, take_init=c > 0, emit_state=emit,
+                exact=exact, interpret=INTERPRET,
+            )
+            if emit:
+                scores, state = res
+            else:
+                scores = res
+            best = scores if best is None else jnp.maximum(best, scores)
+        parts.append(best)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
 def pad_tiles_for_mesh(packed: PackedDB, ndev: int,

@@ -78,3 +78,33 @@ def test_cell_kernel_other_matrix(rng):
     got = _run_kernel(query, subjects, cfg, L=32, T=1)
     want = [sw_score_scalar(query, s, cfg.matrix, cfg.gop, cfg.gex) for s in subjects]
     assert [int(v) for v in got] == want
+
+
+def test_cell_kernel_manual_staging_matches(rng):
+    """The manual double-buffered input-staging variant (DMA experiment,
+    docs/PERFORMANCE.md) scores identically to the auto-pipelined kernel."""
+    from cudasw4_tpu.ops.sw_pallas_cell import score_bucket_pallas_cell_manual
+
+    cfg = make_scoring_config("blosum62")
+    L, T = 16, 3
+    subjects = [
+        rng.integers(0, 20, size=int(rng.integers(3, L)))
+        for _ in range(2 * SUBJECTS_PER_TILE + 7)
+    ]
+    tiles = np.full((T, L, G, NSL), 20, dtype=np.int8)
+    for k, s in enumerate(subjects):
+        t, r = divmod(k, SUBJECTS_PER_TILE)
+        g, lane = divmod(r, NSL)
+        tiles[t, : len(s), g, lane] = s
+    qpad, nq = prepare_query(rng.integers(0, 20, size=12), qcap=64)
+    params = np.array([nq, cfg.gop, cfg.gex, 0], dtype=np.int32)
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    want = score_bucket_pallas_cell(
+        jnp.asarray(tiles), jnp.asarray(qpad), mat, jnp.asarray(params),
+        interpret=not ON_TPU, exact=True,
+    )
+    got = score_bucket_pallas_cell_manual(
+        jnp.asarray(tiles), jnp.asarray(qpad), mat, jnp.asarray(params),
+        interpret=not ON_TPU,
+    )
+    assert np.array_equal(np.asarray(got), np.asarray(want))

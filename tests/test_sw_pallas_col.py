@@ -125,3 +125,25 @@ def test_col_batch_kernel_matches_oracle(rng, monkeypatch):
         assert [int(v) for v in got[s].reshape(-1)[:n]] == _oracle(
             q, subjects, cfg
         ), f"slot {s}"
+
+
+def test_col_kernel_tile_group_bounded_temp(rng, monkeypatch):
+    """Chunked-query scans bound the H/F carry temp by processing tiles
+    in groups (the reference's maxTempBytes subject batching analog,
+    cudasw4.cuh:1928-1947): a 1-tile-per-group run is still exact."""
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    monkeypatch.setattr(sw_pallas_col, "NQC", 24)
+    cfg = make_scoring_config("blosum62")
+    L = 32
+    n = G * NSL + 9  # 2 tiles
+    subjects = [
+        rng.integers(0, 20, size=int(rng.integers(8, L))) for _ in range(n)
+    ]
+    query = rng.integers(0, 20, size=60)  # 3 query chunks of 24
+    mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    got = sw_pallas_col.score_bucket_col_any_query(
+        _tiles_from(subjects, L, 2), query, mat, cfg.gop, cfg.gex,
+        interpret=not ON_TPU, temp_bytes=1,  # force 1-tile groups
+    )
+    got = np.asarray(got).reshape(-1)[:n]
+    assert [int(v) for v in got] == _oracle(query, subjects, cfg)
