@@ -154,8 +154,10 @@ HELP = """Usage: align [options]
       --uploadFull : Accepted for compatibility (the DB is always device-resident).
       --pseudodb num length : Use a generated DB with num equal sequences of length length.
       --maxBatchBytes/--maxBatchSequences/--maxTempBytes/--maxGpuMem : memory tuning
-      --singlePassType/--manyPassType_small/--manyPassType_large/--overflowType, --dpx :
-           Accepted for compatibility; fp32 TPU lanes are exact for all score ranges.
+      --singlePassType/--manyPassType_small/--manyPassType_large/--overflowType val, --dpx :
+           Kernel family selection (Half2|DPXs16|DPXs32|Float).  Half2/DPXs16 (or --dpx)
+           select the int16-state fast path with exact int32 overflow re-scan; Float/DPXs32
+           the always-exact int32 path (the default on v5e, where int16 measures slower).
 """
 
 
@@ -211,6 +213,25 @@ def run(argv=None) -> int:
         ),
         stream_chunk_bytes=opts["max_batch_bytes"],
         verbose=opts["verbose"],
+    )
+    # Kernel-type selection (reference KernelTypeConfig, options.cpp:154-200
+    # + the --dpx preset at :196-201): the 16-bit families (Half2/DPXs16)
+    # map to the int16-state + SAT-escalation path, the 32-bit families
+    # (Float/DPXs32) to exact int32 state.  The single-pass type decides —
+    # our overflow pass is always exact int32 like the reference's default
+    # overflowType.
+    sp = opts["kernel_types"].get("singlePassType")
+    if opts["dpx"] or sp in ("Half2", "DPXs16"):
+        engine.state16 = True
+    elif sp in ("Float", "DPXs32"):
+        engine.state16 = False
+    # --maxTempBytes bounds the chunked-col boundary-carry temp, the
+    # analog of the reference's 4 GiB multi-pass temp (in+out states live
+    # simultaneously, so halve the user's cap).
+    from ..ops import sw_pallas_col
+
+    sw_pallas_col.COL_CARRY_TEMP_BYTES = max(
+        1 << 20, opts["max_temp_bytes"] // 2
     )
     if opts["verbose"]:
         print("Selected options:")
