@@ -42,7 +42,9 @@ def _run_config(num, length, queries, reps):
         total = engine.total_timer_stop()
         if total.gcups > best:
             best, best_secs = total.gcups, total.seconds
-    cells = engine._total_cells / max(1, reps)
+    # total_timer_start resets the cell counter, so after the loop it
+    # holds exactly one protocol pass worth of cells.
+    cells = engine._total_cells
     return best, best_secs, cells
 
 

@@ -43,7 +43,7 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from .constants import UNKNOWN, encode
+from .constants import encode
 from .db.format import DBData
 from .db.packing import PackedDB, pack_db
 from .ops import bucket_kind, score_bucket, sw_pallas, sw_pallas_cell, sw_pallas_col

@@ -193,3 +193,29 @@ def test_makedb_capped_identical(tmp_path, rng):
     for suf in ("0chars", "0offsets", "0lengths", "0headers",
                 "0headeroffsets", "0metadata"):
         assert filecmp.cmp(p1 + suf, p2 + suf, shallow=False), suf
+
+
+def test_kernel_type_flags_select_state(small_db, tmp_path, monkeypatch, capsys):
+    """--dpx / --singlePassType map to the int16-state fast path (the
+    reference KernelTypeConfig, options.cpp:154-201); Float/DPXs32 force
+    the exact path; results are identical either way."""
+    import cudasw4_tpu.engine as eng
+
+    prefix, qf, _ = small_db
+    seen = {}
+    orig = eng.SearchEngine.set_database
+
+    def spy(self, *a, **kw):
+        seen["engine"] = self
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(eng.SearchEngine, "set_database", spy)
+    assert _run_align(["--query", qf, "--db", prefix, "--dpx"], monkeypatch) == 0
+    assert seen["engine"].state16 is True
+    out_dpx = capsys.readouterr().out
+    assert _run_align(
+        ["--query", qf, "--db", prefix, "--singlePassType", "Float"],
+        monkeypatch,
+    ) == 0
+    assert seen["engine"].state16 is False
+    assert capsys.readouterr().out == out_dpx
