@@ -246,11 +246,12 @@ def _sw_cell_batch_kernel(
 
 
 #: Query capacity of the batch kernel's SMEM-resident query block
-#: (QB_MAX * QCAP_BATCH * 4B = 128 KB fits v5e SMEM; 2048 covers the
-#: reference benchmark ladder's 1-2k queries, measured +10% over single
-#: scans at q=2048).  Engines cap batches at min(QCAP_BATCH, col NQC)
-#: when the DB has column-kernel buckets (engine._qcap_batch).
-QCAP_BATCH = 2048
+#: (QB_MAX * QCAP_BATCH * 4B = 512 KB fits v5e SMEM; 8192 = QCAP covers
+#: the whole reference benchmark ladder, measured +5-10% over single
+#: scans at q=2-5.5k — cell-bucket DBs never fall back to singles).
+#: Engines cap batches at min(QCAP_BATCH, col NQC) when the DB has
+#: column-kernel buckets (engine._qcap_batch).
+QCAP_BATCH = 8192
 
 
 @functools.partial(
