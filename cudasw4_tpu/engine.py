@@ -160,12 +160,13 @@ class SearchEngine:
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
         self._stream_fns = {}
         # Batch query capacity: the full QCAP_BATCH SMEM block unless the
-        # DB has column-kernel buckets, whose batch paths handle at most
-        # NQC rows per slot (longer queries take per-query chunked-carry).
+        # DB has column-kernel buckets, whose batch paths cap slots at
+        # COL_BATCH_RMAX rows (longer queries run as singles: one
+        # NQC-row pass up to 2048 aa, chunked-carry beyond).
         self._qcap_batch = sw_pallas_cell.QCAP_BATCH
         if any(b.kernel == "col" for b in self.packed.buckets):
             self._qcap_batch = min(
-                sw_pallas_cell.QCAP_BATCH, sw_pallas_col.NQC
+                sw_pallas_cell.QCAP_BATCH, sw_pallas_col.COL_BATCH_RMAX
             )
         ndev = self._mesh_ndev()
         if self._db_exceeds_device_memory(ndev):

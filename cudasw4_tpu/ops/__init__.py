@@ -110,13 +110,14 @@ def col_batch_geometry(max_pad: int, QB: int) -> tuple[int, int]:
     """(R, S) for the multi-slot column kernel: R = slot row capacity
     (power of two >= the largest unroll-padded query in the batch), S =
     slots per pass (divides QB so groups tile the batch exactly; total
-    state S*R <= NQC keeps the kernel's VMEM budget constant)."""
+    state S*R <= COL_BATCH_RMAX keeps every batched pass at the 32 MB
+    state budget that is stable inside large fused programs)."""
     from . import sw_pallas_col
 
     R = 4
     while R < max_pad:
         R *= 2
-    cap = max(1, sw_pallas_col.NQC // R)
+    cap = max(1, sw_pallas_col.COL_BATCH_RMAX // R)
     S = 1
     while S * 2 <= min(cap, QB) and QB % (S * 2) == 0:
         S *= 2

@@ -48,8 +48,18 @@ NEG16 = -20000
 #: Subject positions per grid step (all long-bucket lengths are multiples).
 LC = 128
 
-#: Query rows per invocation (state = 2 * NQC * 4096 * 4B = 32 MB VMEM).
-NQC = 1024
+#: Query rows per invocation (state = 2 * NQC * 4096 * 4B = 64 MB VMEM,
+#: inside the 100 MB request; measured +7% on 2k-aa queries over the
+#: 1024-row two-chunk carry, no regression on short queries).
+NQC = 2048
+
+#: Slot-rows budget for the S-slot batch kernel when it runs inside the
+#: engine's big batched program.  Many 64 MB-state (R=2048) passes fused
+#: into ONE XLA program measured a device kernel fault at 1M x 2048
+#: (T=245) on v5e — the identical passes run fine standalone or eagerly
+#: back-to-back, so this is an XLA/Mosaic composition marginality, not a
+#: kernel bug.  32 MB-state batch slots are stable at every scale.
+COL_BATCH_RMAX = 1024
 
 
 def _sw_col_kernel(refs, *, LCk, U, take_init, emit_state,
@@ -288,11 +298,14 @@ def pad_query_chunk(codes, unroll: int = 4, pad: int | None = None):
 #: query-chunk loop before the next group starts — the exact analog of
 #: the reference's maxTempBytes subject batching for its 4 GiB multi-pass
 #: temp (/root/reference/src/cudasw4.cuh:1928-1947).  In+out states live
-#: simultaneously, so peak HBM use is ~2x this value.
+#: simultaneously, so peak HBM use is ~2x this value; 1 GiB keeps the
+#: peak ~2 GiB, which coexists with a 2 GiB resident bucket plus batch
+#: intermediates on a 16 GiB chip (a 2 GiB budget measured a device
+#: fault at 1M x 2048).
 import os as _os
 
 COL_CARRY_TEMP_BYTES = int(
-    _os.environ.get("CUDASW4_TPU_COL_TEMP_BYTES", 2 << 30)
+    _os.environ.get("CUDASW4_TPU_COL_TEMP_BYTES", 1 << 30)
 )
 
 
@@ -326,6 +339,7 @@ def score_bucket_col_any_query(
     per_tile_state = 2 * L * g * nsl * 4
     tc = T if len(chunks) == 1 else max(1, min(T, budget // per_tile_state))
 
+    multi = tc < T
     parts = []
     for t0 in range(0, T, tc):
         sub = tiles[t0 : t0 + tc]
@@ -344,8 +358,15 @@ def score_bucket_col_any_query(
             else:
                 scores, state = res, None
             best = scores if best is None else jnp.maximum(best, scores)
+        if multi:
+            # Synchronize per group: async dispatch would keep several
+            # groups' multi-GB carry states live at once and fault the
+            # device (scores are tiny — the host round-trip is free).
+            best = np.asarray(best)
         parts.append(best)
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if not multi:
+        return parts[0]
+    return jnp.asarray(np.concatenate(parts, axis=0))
 
 
 def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,
