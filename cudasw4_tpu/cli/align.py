@@ -52,6 +52,7 @@ def parse_args(argv: list[str]) -> dict:
         "max_batch_bytes": 128 << 20,
         "max_batch_sequences": 10_000_000,
         "max_temp_bytes": 4 << 30,
+        "got_max_temp_bytes": False,
         "max_gpu_mem": None,
         "kernel_types": {},
         "dpx": False,
@@ -106,6 +107,7 @@ def parse_args(argv: list[str]) -> dict:
             opts["max_batch_sequences"] = int(val())
         elif a == "--maxTempBytes":
             opts["max_temp_bytes"] = parse_memory_string(val())
+            opts["got_max_temp_bytes"] = True
         elif a == "--maxGpuMem":
             opts["max_gpu_mem"] = parse_memory_string(val())
         elif a in (
@@ -227,12 +229,16 @@ def run(argv=None) -> int:
         engine.state16 = False
     # --maxTempBytes bounds the chunked-col boundary-carry temp, the
     # analog of the reference's 4 GiB multi-pass temp (in+out states live
-    # simultaneously, so halve the user's cap).
-    from ..ops import sw_pallas_col
+    # simultaneously, so halve the user's cap).  Only an explicit flag
+    # overrides the library default / CUDASW4_TPU_COL_TEMP_BYTES env —
+    # the reference's 4 GiB *default* must not clobber the measured-safe
+    # 1 GiB budget (sw_pallas_col.py).
+    if opts["got_max_temp_bytes"]:
+        from ..ops import sw_pallas_col
 
-    sw_pallas_col.COL_CARRY_TEMP_BYTES = max(
-        1 << 20, opts["max_temp_bytes"] // 2
-    )
+        sw_pallas_col.COL_CARRY_TEMP_BYTES = max(
+            1 << 20, opts["max_temp_bytes"] // 2
+        )
     if opts["verbose"]:
         print("Selected options:")
         print(f"blosum: {opts['mat'].upper()}")

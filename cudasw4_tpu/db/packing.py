@@ -156,6 +156,37 @@ class PackedDB:
         return sum(b.tiles.size for b in self.buckets)
 
 
+
+def _pack_slab(chars, offsets, lengths, a, b, L, NS, pad_code):
+    """Pack sequences [a, b) into ceil((b-a)/NS) position-major row-layout
+    tiles; the single source of the gather/mask/transpose math shared by
+    pack_db and pack_db_to_store (byte-identity between the two is
+    load-bearing for the tile-store cache contract)."""
+    cnt = b - a
+    nt = -(-cnt // NS)
+    offs = offsets[a:b, None]  # [cnt, 1]
+    jj = np.arange(L, dtype=np.int64)[None, :]
+    # padded length on disk is a multiple of 4 >= real length
+    padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
+    idx = offs + np.minimum(jj, padlens - 1)
+    block = np.take(chars, idx)
+    if pad_code == UNKNOWN:
+        # On-disk padding bytes within [len, padlen) are already UNKNOWN;
+        # masking at padlens keeps byte-parity with the native packer.
+        block = np.where(jj < padlens, block, UNKNOWN)
+    else:
+        block = np.where(jj < lengths[a:b, None], block, pad_code)
+    block = block.astype(np.int8)
+    slab = np.full((nt * NS, L), pad_code, dtype=np.int8)
+    slab[:cnt] = block
+    tiles = slab.reshape(nt, NS, L).transpose(0, 2, 1)
+    sidx = np.full(nt * NS, -1, dtype=np.int32)
+    sidx[:cnt] = np.arange(a, b, dtype=np.int32)
+    slen = np.zeros(nt * NS, dtype=np.int32)
+    slen[:cnt] = lengths[a:b]
+    return tiles, sidx.reshape(nt, NS), slen.reshape(nt, NS)
+
+
 def pack_db(
     db,
     edges=None,
@@ -217,35 +248,12 @@ def pack_db(
             t1 = min(t0 + slab_tiles, T)
             a = start + t0 * NS
             b = min(start + t1 * NS, stop)
-            cnt = b - a
-            # Gather [cnt, L] with per-sequence masking of the tail.
-            offs = offsets[a:b, None]  # [cnt, 1]
-            jj = np.arange(L, dtype=np.int64)[None, :]
-            # padded length on disk is a multiple of 4 >= real length
-            padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
-            idx = offs + np.minimum(jj, padlens - 1)
-            block = np.take(np.asarray(chars), idx)
-            if pad_code == UNKNOWN:
-                # On-disk padding bytes within [len, padlen) are already
-                # UNKNOWN; masking at padlens keeps byte-parity with the
-                # native packer.
-                block = np.where(jj < padlens, block, UNKNOWN)
-            else:
-                block = np.where(jj < lengths[a:b, None], block, pad_code)
-            block = block.astype(np.int8)
-            # scatter into [t1-t0, NS, L] then transpose to position-major
-            nt = t1 - t0
-            slab = np.full((nt * NS, L), pad_code, dtype=np.int8)
-            slab[:cnt] = block
-            slab = slab.reshape(nt, NS, L).transpose(0, 2, 1)
+            slab, sidx, slen = _pack_slab(
+                np.asarray(chars), offsets, lengths, a, b, L, NS, pad_code
+            )
             tiles[t0:t1] = slab
-
-            sidx = np.full(nt * NS, -1, dtype=np.int32)
-            sidx[:cnt] = np.arange(a, b, dtype=np.int32)
-            seq_index[t0:t1] = sidx.reshape(nt, NS)
-            slen = np.zeros(nt * NS, dtype=np.int32)
-            slen[:cnt] = lengths[a:b]
-            seq_lengths[t0:t1] = slen.reshape(nt, NS)
+            seq_index[t0:t1] = sidx
+            seq_lengths[t0:t1] = slen
 
         finish(tiles, seq_index, seq_lengths)
 
@@ -426,26 +434,7 @@ def pack_db_to_store(
             )
             if native is not None:
                 return native
-        cnt = b - a
-        nt = -(-cnt // NS)
-        offs = offsets[a:b, None]
-        jj = np.arange(L, dtype=np.int64)[None, :]
-        padlens = ((lengths[a:b] + 3) // 4 * 4)[:, None]
-        idx = offs + np.minimum(jj, padlens - 1)
-        block = np.take(chars, idx)
-        if pad_code == UNKNOWN:
-            block = np.where(jj < padlens, block, UNKNOWN)
-        else:
-            block = np.where(jj < lengths[a:b, None], block, pad_code)
-        block = block.astype(np.int8)
-        slab = np.full((nt * NS, L), pad_code, dtype=np.int8)
-        slab[:cnt] = block
-        tiles = slab.reshape(nt, NS, L).transpose(0, 2, 1)
-        sidx = np.full(nt * NS, -1, dtype=np.int32)
-        sidx[:cnt] = np.arange(a, b, dtype=np.int32)
-        slen = np.zeros(nt * NS, dtype=np.int32)
-        slen[:cnt] = lengths[a:b]
-        return tiles, sidx.reshape(nt, NS), slen.reshape(nt, NS)
+        return _pack_slab(chars, offsets, lengths, a, b, L, NS, pad_code)
 
     arrays = {}
     offset = 0

@@ -127,6 +127,7 @@ class SearchEngine:
         t0 = time.perf_counter()
         self.db = db
         self._batch_scan_fn = None
+        self.streaming = False
         self.packed = None
         if pack_cache:
             from .db.packing import load_packed
@@ -589,9 +590,14 @@ class SearchEngine:
                 pads,
             ]
         )
-        from .ops import col_batch_geometry
+        if any(b.kernel == "col" for b in self.packed.buckets):
+            from .ops import col_batch_geometry
 
-        R, S = col_batch_geometry(int(pads.max()), QB)
+            R, S = col_batch_geometry(int(pads.max()), QB)
+        else:
+            # R/S are unused without col buckets; pin them so the fused
+            # batch program compiles once, not per distinct max pad.
+            R, S = 4, 1
         return self._batch_scan_fn(queries, qpad_full, params, R, S)
 
     def _materialize_batch(self, vals, ids, group, t0):

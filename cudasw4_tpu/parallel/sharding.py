@@ -39,18 +39,21 @@ def _merge_topk(scores, ids, k: int, axis: str):
 
     k==0 (--top 0 benchmarking) still selects one so the score kernels are
     not dead-code-eliminated; callers slice to k on the way out.  Equal
-    scores resolve to the lowest reference id: shards hold contiguous
-    ascending tile ranges and ``lax.top_k`` prefers the lowest index, so the
-    gathered candidate list is id-ordered within and across shards (the
-    engine-wide tie rule, docs/PARITY.md)."""
+    scores resolve to the lowest reference id (the engine-wide tie rule,
+    docs/PARITY.md): within a shard the concat slot order is ascending-id
+    (each bucket's shard slice is a contiguous ascending range and buckets
+    cover ascending length-sorted ranges), so per-shard ``top_k`` already
+    breaks ties by id; the final merge over the gathered candidates (a few
+    dozen elements) sorts explicitly by (-score, id) — shard order alone
+    is NOT id order when the DB has more than one bucket."""
     kl = max(1, min(k, scores.shape[0]))
     v, i = jax.lax.top_k(scores, kl)
     ids_sel = jnp.take(ids, i)
     vg = jax.lax.all_gather(v, axis).reshape(-1)
     ig = jax.lax.all_gather(ids_sel, axis).reshape(-1)
     kf = max(1, min(k, vg.shape[0]))
-    vfin, ifin = jax.lax.top_k(vg, kf)
-    return vfin, jnp.take(ig, ifin)
+    order = jnp.lexsort((ig, -vg))[:kf]
+    return jnp.take(vg, order), jnp.take(ig, order)
 
 
 def make_query_chunks(codes, gop: int, gex: int, unroll: int = 4,
@@ -86,8 +89,15 @@ def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
         1, min(T, sw_pallas_col.COL_CARRY_TEMP_BYTES // per_tile)
     )
     parts = []
+    prev_best = None
     for t0 in range(0, T, tc):
         sub = tiles[t0 : t0 + tc]
+        if prev_best is not None:
+            # Serialize tile groups inside the jit: a data dependency on
+            # the previous group's result keeps XLA from scheduling two
+            # groups' multi-GB carry temps live at once (the eager path
+            # host-syncs per group for the same reason).
+            sub = sub + (prev_best[0, 0] * 0).astype(sub.dtype)
         best = None
         state = None
         for c in range(nchunks):
@@ -103,6 +113,7 @@ def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
                 scores = res
             best = scores if best is None else jnp.maximum(best, scores)
         parts.append(best)
+        prev_best = best
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
 
@@ -198,8 +209,13 @@ def build_sharded_batch_scan(
         vg = jax.lax.all_gather(v, axis, axis=1).reshape(QB, -1)
         ig = jax.lax.all_gather(ids_sel, axis, axis=1).reshape(QB, -1)
         kf = max(1, min(k, vg.shape[1]))
-        vfin, ifin = jax.lax.top_k(vg, kf)
-        return vfin, jnp.take_along_axis(ig, ifin, axis=1)
+        # Ties -> lowest id (see _merge_topk): per-row lexsort over the
+        # tiny gathered candidate lists.
+        order = jax.vmap(lambda vv, ii: jnp.lexsort((ii, -vv))[:kf])(vg, ig)
+        return (
+            jnp.take_along_axis(vg, order, axis=1),
+            jnp.take_along_axis(ig, order, axis=1),
+        )
 
     mapped = jax.shard_map(
         body,

@@ -70,3 +70,31 @@ def test_sharded_top_exceeds_shard(tmp_path, rng):
     result = engine.scan("ARND")
     assert len(result.scores) == 10
     assert sorted(result.reference_ids) == list(range(10))
+
+
+def test_merge_topk_cross_shard_ties():
+    """Equal scores across shards resolve to the lowest reference id
+    (the engine-wide tie rule) — shard order is not id order when the DB
+    has more than one bucket, so the final merge must sort explicitly."""
+    import jax.numpy as jnp
+
+    from cudasw4_tpu.parallel.sharding import _merge_topk
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(jax.devices()[:2])
+    # shard 0: ids (5000, 7); shard 1: ids (100, 3). Scores tie at 9.
+    scores = jnp.asarray([9.0, 5.0, 9.0, 8.0])
+    ids = jnp.asarray([5000, 7, 100, 3], dtype=jnp.int32)
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda s, i: _merge_topk(s, i, 3, "d"),
+            mesh=mesh,
+            in_specs=(P("d"), P("d")),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    v, i = fn(scores, ids)
+    assert [float(x) for x in v] == [9.0, 9.0, 8.0]
+    assert [int(x) for x in i] == [100, 5000, 3]
