@@ -57,6 +57,7 @@ def parse_args(argv: list[str]) -> dict:
         "kernel_types": {},
         "dpx": False,
         "profile": None,
+        "tuning": None,
     }
     i = 0
     while i < len(argv):
@@ -124,6 +125,8 @@ def parse_args(argv: list[str]) -> dict:
             opts["dpx"] = True
         elif a == "--profile":
             opts["profile"] = val()
+        elif a == "--tuning":
+            opts["tuning"] = val()
         else:
             print(f"Unexpected arg {a}")
         i += 1
@@ -156,6 +159,8 @@ HELP = """Usage: align [options]
       --uploadFull : Accepted for compatibility (the DB is always device-resident).
       --pseudodb num length : Use a generated DB with num equal sequences of length length.
       --maxBatchBytes/--maxBatchSequences/--maxTempBytes/--maxGpuMem : memory tuning
+      --tuning file.json : Apply a gridsearch --emit-config tuning file (kernel speed
+           ratios for the bucket layout chooser; also via env CUDASW4_TPU_TUNING).
       --singlePassType/--manyPassType_small/--manyPassType_large/--overflowType val, --dpx :
            Kernel family selection (Half2|DPXs16|DPXs32|Float).  Half2/DPXs16 (or --dpx)
            select the int16-state fast path with exact int32 overflow re-scan; Float/DPXs32
@@ -239,6 +244,12 @@ def run(argv=None) -> int:
         sw_pallas_col.COL_CARRY_TEMP_BYTES = max(
             1 << 20, opts["max_temp_bytes"] // 2
         )
+    if opts["tuning"]:
+        # gridsearch --emit-config feedback: measured kernel speed ratios
+        # steer the bucket layout chooser for this TPU generation.
+        from ..db import packing
+
+        packing.apply_tuning(opts["tuning"])
     if opts["verbose"]:
         print("Selected options:")
         print(f"blosum: {opts['mat'].upper()}")

@@ -21,6 +21,49 @@ import time
 import numpy as np
 
 
+def derive_tuning(rows) -> dict:
+    """Reduce sweep rows to the tuning config db/packing.py consumes.
+
+    ``rows``: (kernel, L, unroll, tiles, qlen, seconds, gcups) tuples.
+    For each (L, qlen) the best unroll per kernel is taken; the speedup
+    ratios are the medians of best_cell/best_row (L <= CELL_MAX_L) and
+    best_col/best_row (L > CELL_MAX_L) over configs where both kernels
+    ran.  Returns {} entries only for ratios that could be measured, so
+    ``apply_tuning`` keeps library defaults otherwise.
+    """
+    from ..db.packing import CELL_MAX_L
+
+    best: dict = {}  # (kernel, L, qlen) -> gcups of best unroll
+    unrolls: dict = {}
+    for kernel, L, U, _T, nq, _dt, gcups in rows:
+        key = (kernel, L, nq)
+        if gcups > best.get(key, 0.0):
+            best[key] = gcups
+            unrolls[key] = U
+    ratios = {"cell": [], "col": []}
+    for (kernel, L, nq), g in best.items():
+        if kernel == "row":
+            continue
+        row_g = best.get(("row", L, nq))
+        if not row_g:
+            continue
+        if kernel == "cell" and L <= CELL_MAX_L:
+            ratios["cell"].append(g / row_g)
+        elif kernel == "col" and L > CELL_MAX_L:
+            ratios["col"].append(g / row_g)
+    cfg: dict = {"version": 1}
+    if ratios["cell"]:
+        cfg["cell_speedup"] = round(float(np.median(ratios["cell"])), 3)
+    if ratios["col"]:
+        cfg["col_speedup"] = round(float(np.median(ratios["col"])), 3)
+    cfg["best"] = [
+        {"kernel": k, "length": L, "qlen": nq, "unroll": unrolls[(k, L, nq)],
+         "gcups": round(g, 1)}
+        for (k, L, nq), g in sorted(best.items())
+    ]
+    return cfg
+
+
 def run(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     lengths = [128, 256, 512, 1024, 2048]
@@ -30,6 +73,7 @@ def run(argv=None) -> int:
     num_chars = 32 << 20  # chars per pseudo db (fixed work per config)
     reps = 3
     outfile = None
+    emit_config = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -53,11 +97,18 @@ def run(argv=None) -> int:
             reps = int(val())
         elif a == "--of":
             outfile = val()
+        elif a == "--emit-config":
+            emit_config = val()
         elif a == "--help":
             print(
                 "Usage: gridsearch [--lengths l1,l2,..] [--kernels row,cell,col]"
                 " [--unrolls u1,..] [--querylengths q1,..] [--chars N]"
-                " [--reps R] [--of file]"
+                " [--reps R] [--of file] [--emit-config tuning.json]"
+            )
+            print(
+                "--emit-config writes a tuning JSON consumed by"
+                " CUDASW4_TPU_TUNING / align --tuning (measured kernel"
+                " speed ratios feed the bucket layout chooser)."
             )
             return 0
         else:
@@ -178,6 +229,17 @@ def run(argv=None) -> int:
             f.write("kernel\tlength\tunroll\ttiles\tqlen\tseconds\tgcups\n")
             for r in rows:
                 f.write("\t".join(str(x) for x in r) + "\n")
+    if emit_config:
+        import json
+
+        cfg = derive_tuning(rows)
+        cfg["platform"] = jax.devices()[0].device_kind
+        with open(emit_config, "w") as f:
+            json.dump(cfg, f, indent=1)
+        print(f"\nTuning config written to {emit_config}")
+        if not on_tpu:
+            print("(CPU sweep: speed ratios are not meaningful — "
+                  "run on TPU hardware before applying)")
     return 0
 
 

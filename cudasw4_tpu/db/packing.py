@@ -68,6 +68,35 @@ COL_SPEEDUP = float(os.environ.get("CUDASW4_TPU_COL_SPEEDUP", 2.8))
 JNP_REL_SPEED = 0.05
 
 
+def apply_tuning(cfg) -> None:
+    """Apply a gridsearch-emitted tuning config to the layout chooser.
+
+    ``cfg``: a dict (or a path to a JSON file) as written by
+    ``gridsearch --emit-config`` — the per-generation feedback loop the
+    reference runs by hand-editing its partId->(group_size,numRegs)
+    dispatch table from gridsearch output
+    (/root/reference/src/gridsearch.cu, /root/reference/src/cudasw4.cuh:1767).
+    Recognised keys: ``cell_speedup``, ``col_speedup`` (floats, measured
+    kernel speed ratios vs the row-streaming kernel at full tile
+    occupancy).  Unknown keys are ignored so configs stay forward
+    compatible.
+    """
+    global CELL_SPEEDUP, COL_SPEEDUP
+    if isinstance(cfg, (str, os.PathLike)):
+        import json
+
+        with open(cfg) as f:
+            cfg = json.load(f)
+    if cfg.get("cell_speedup"):
+        CELL_SPEEDUP = float(cfg["cell_speedup"])
+    if cfg.get("col_speedup"):
+        COL_SPEEDUP = float(cfg["col_speedup"])
+
+
+if os.environ.get("CUDASW4_TPU_TUNING"):
+    apply_tuning(os.environ["CUDASW4_TPU_TUNING"])
+
+
 #: Padded-length ladder for the long tail (> CELL_MAX_L): multiples of 128
 #: (the column kernel's chunk size) in ~1.2x steps so the jit compile cache
 #: stays bounded across databases.

@@ -343,14 +343,20 @@ class SearchEngine:
 
         def run(qpad, params, codes=None, exact=False):
             nq = int(params[0])
-            # Cell/row kernels hold the query in SMEM (capacity qcap);
-            # beyond that those buckets take the portable scorer.  Col
-            # buckets never degrade: queries beyond the column kernel's
-            # row capacity chunk with shard-local H/F boundary carry.
+            # The cell kernel's query is a scalar-prefetch operand, so it
+            # accepts any SMEM-fitting length (the caller pads qpad up);
+            # only beyond QCAP_MAX — or on the legacy row kernel — do
+            # buckets take the portable scorer.  Col buckets never
+            # degrade: queries beyond the column kernel's row capacity
+            # chunk with shard-local H/F boundary carry.
             kds = kinds
             if nq > self.qcap:
                 kds = tuple(
-                    "jnp" if kd in ("cell", "row") else kd for kd in kinds
+                    "jnp"
+                    if kd == "row"
+                    or (kd == "cell" and nq > sw_pallas_cell.QCAP_MAX)
+                    else kd
+                    for kd in kinds
                 )
             if (
                 use_pallas
@@ -398,9 +404,9 @@ class SearchEngine:
                 self._debug_check_result(codes, result)
             return result
         if nq > self.qcap:
-            # Queries longer than the kernel's SMEM-resident capacity take
-            # the portable XLA path (any length, tile-chunked memory) — the
-            # analog of the reference's many-pass escalation for extremes.
+            # Queries longer than the default SMEM query block grow it
+            # (cell) or chunk with boundary carry (col) — the analog of
+            # the reference's many-pass escalation for extremes.
             return self._scan_long_query(codes)
         qpad = np.full(self.qcap, self._pad, dtype=np.int32)
         qpad[:nq] = codes
@@ -815,11 +821,22 @@ class SearchEngine:
         for i, c in enumerate(group):
             if len(c) <= self.qcap:
                 qpad_full[i, : len(c)] = c
-            else:
-                w = np.full(_round_up(len(c), 256), self._pad, np.int32)
-                w[: len(c)] = c
-                wide[i] = jnp.asarray(w)
         qfull_dev = jnp.asarray(qpad_full)
+
+        def wide_q(i, granularity):
+            # Over-capacity query pads, cached per rounding granularity:
+            # QCAP steps for the cell kernel (SMEM-only cost, bounds the
+            # compile cache) vs 256 for the portable scorer (its lax.scan
+            # walks every padded row, so tight padding matters).
+            key = (i, granularity)
+            if key not in wide:
+                c = group[i]
+                w = np.full(
+                    _round_up(len(c), granularity), self._pad, np.int32
+                )
+                w[: len(c)] = c
+                wide[key] = jnp.asarray(w)
+            return wide[key]
         per_scores: list[list] = [[] for _ in range(n)]
         id_parts: list[np.ndarray] = []
         pending: list[tuple] = []
@@ -872,9 +889,16 @@ class SearchEngine:
                     self._matrix_flat,
                 )
             kind = bucket_kind(b, nq_pad=nq_pad)
-            if kind in ("cell", "row") and nq > self.qcap:
+            if nq > self.qcap and (
+                kind == "row"
+                or (kind == "cell" and nq > sw_pallas_cell.QCAP_MAX)
+            ):
                 kind = "jnp"  # beyond the kernels' SMEM query capacity
-            qdev = wide[i] if i in wide else qfull_dev[i]
+            if nq <= self.qcap:
+                qdev = qfull_dev[i]
+            else:
+                gran = sw_pallas_cell.QCAP if kind == "cell" else 256
+                qdev = wide_q(i, gran)
             pq = jnp.asarray(np.array([nq, gop, gex, nq_pad], np.int32))
             if ndev == 1:
                 return score_bucket(
@@ -1014,17 +1038,21 @@ class SearchEngine:
                 yield b, chunk, sidx
 
     def _scan_long_query(self, codes) -> ScanResult:
-        """Resident-DB scan of a query beyond the cell/row kernels' SMEM
-        query capacity: col buckets keep the fast chunked-carry kernel
-        (any query length); cell/row buckets fall back to the portable
-        tile-chunked scorer.  Streaming DBs never reach here (scan()
-        routes them through the streaming pipeline, which handles any
-        length)."""
+        """Resident-DB scan of a query beyond the engine's default qcap:
+        col buckets keep the fast chunked-carry kernel (any query length)
+        and cell buckets keep the cell kernel with a grown SMEM query
+        block (up to sw_pallas_cell.QCAP_MAX; the DP loop runs to nq, so
+        the padding costs nothing); only legacy row buckets and truly
+        extreme queries fall back to the portable tile-chunked scorer.
+        Streaming DBs never reach here (scan() routes them through the
+        streaming pipeline, which handles any length)."""
         from .ops import INTERPRET
         from .ops.sw_jax import score_tiles_jnp_chunked
 
         nq = len(codes)
-        qpad_len = max(self.qcap, _round_up(nq, 256))
+        # QCAP-granular padding bounds the jit compile cache (one program
+        # per QCAP multiple, not per query length).
+        qpad_len = max(self.qcap, _round_up(nq, sw_pallas_cell.QCAP))
         qpad = np.full(qpad_len, self._pad, dtype=np.int32)
         qpad[:nq] = codes
         nq_pad = max(4, -(-nq // 4) * 4)
@@ -1053,12 +1081,26 @@ class SearchEngine:
         gex = jnp.float32(self.scoring.gex)
         use_pallas = self.backend == "pallas"
         parts = []
+        params = jnp.asarray(
+            np.array(
+                [nq, self.scoring.gop, self.scoring.gex, nq_pad], np.int32
+            )
+        )
         for tiles, b in zip(self._bucket_tiles, self.packed.buckets):
             if use_pallas and b.kernel == "col":
                 s = sw_pallas_col.score_bucket_col_any_query(
                     tiles, codes, self._matrix_flat,
                     self.scoring.gop, self.scoring.gex,
                     exact=True, interpret=INTERPRET, pad=self._pad,
+                )
+            elif (
+                use_pallas
+                and b.kernel == "cell"
+                and nq <= sw_pallas_cell.QCAP_MAX
+            ):
+                s = sw_pallas_cell.score_bucket_pallas_cell(
+                    tiles, qdev, self._matrix_flat, params,
+                    exact=True, interpret=INTERPRET,
                 )
             else:
                 s = score_tiles_jnp_chunked(

@@ -65,6 +65,16 @@ SUBJECTS_PER_TILE = G * NSL
 #: Maximum query chars per kernel invocation (SMEM-resident).
 QCAP = 8192
 
+#: Hard SMEM ceiling for one query block.  The query is a scalar-prefetch
+#: operand, so the kernel is length-agnostic: beyond QCAP the engine pads
+#: the query up in QCAP-sized steps (only SMEM is spent — the DP row loop
+#: runs to nq) until this limit, 512 KB of int32 SMEM (the same budget the
+#: batch kernel's QB*QCAP_BATCH block is measured to fit).  Queries longer
+#: still fall back to the portable scorer.  The reference bounds query
+#: length only by int32 (/root/reference/src/config.hpp:26-30); 131072
+#: covers every known protein (titin ~35k aa) with ~4x headroom.
+QCAP_MAX = 131072
+
 
 def _alphabet_dim(matrix_flat) -> int:
     """Alphabet size from a flattened [A*A] substitution matrix (21

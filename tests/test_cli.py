@@ -219,3 +219,66 @@ def test_kernel_type_flags_select_state(small_db, tmp_path, monkeypatch, capsys)
     ) == 0
     assert seen["engine"].state16 is False
     assert capsys.readouterr().out == out_dpx
+
+
+def test_gridsearch_tuning_roundtrip(tmp_path, monkeypatch):
+    """gridsearch's derive_tuning -> align --tuning feedback loop: emitted
+    speed ratios steer choose_bucket_layout (the reference closes this
+    loop by hand-editing its dispatch table from gridsearch output)."""
+    import json
+
+    from cudasw4_tpu.cli.gridsearch import derive_tuning
+    from cudasw4_tpu.db import packing
+
+    # Synthetic sweep rows: cell 3x row at L<=512, col 2x row at L=1024.
+    rows = [
+        ("row", 256, 2, 8, 512, 0.3, 100.0),
+        ("cell", 256, 4, 8, 512, 0.1, 300.0),
+        ("cell", 256, 8, 8, 512, 0.2, 150.0),
+        ("row", 1024, 2, 8, 512, 0.3, 100.0),
+        ("col", 1024, 4, 8, 512, 0.15, 200.0),
+    ]
+    cfg = derive_tuning(rows)
+    assert cfg["cell_speedup"] == 3.0
+    assert cfg["col_speedup"] == 2.0
+    # best-unroll bookkeeping keeps the winning unroll, not the last run
+    cell_best = [b for b in cfg["best"] if b["kernel"] == "cell"][0]
+    assert cell_best["unroll"] == 4
+
+    f = tmp_path / "tuning.json"
+    f.write_text(json.dumps(cfg))
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 1.75)
+    monkeypatch.setattr(packing, "COL_SPEEDUP", 2.8)
+    packing.apply_tuning(str(f))
+    try:
+        assert packing.CELL_SPEEDUP == 3.0
+        assert packing.COL_SPEEDUP == 2.0
+        # 3900 seqs at L=256: cell eff 3900/4096*3.0 = 2.86 beats row eff
+        # ~0.98 under the applied 3x ratio, but loses under 0.5x — the
+        # applied ratios really drive the layout choice.
+        ns, kernel = packing.choose_bucket_layout(256, 3900)
+        assert kernel == "cell"
+        packing.apply_tuning({"cell_speedup": 0.5})
+        ns, kernel = packing.choose_bucket_layout(256, 3900)
+        assert kernel == "row"
+    finally:
+        packing.CELL_SPEEDUP = 1.75
+        packing.COL_SPEEDUP = 2.8
+
+
+def test_align_tuning_flag(small_db, tmp_path, monkeypatch, capsys):
+    """--tuning file.json applies before packing."""
+    import json
+
+    from cudasw4_tpu.db import packing
+
+    prefix, qf, _ = small_db
+    f = tmp_path / "t.json"
+    f.write_text(json.dumps({"cell_speedup": 9.9, "version": 1}))
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 1.75)
+    assert _run_align(
+        ["--query", qf, "--db", prefix, "--top", "3", "--tuning", str(f)],
+        monkeypatch,
+    ) == 0
+    assert packing.CELL_SPEEDUP == 9.9
+    packing.CELL_SPEEDUP = 1.75
