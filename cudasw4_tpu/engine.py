@@ -102,6 +102,9 @@ class SearchEngine:
         # reference's -DCUDASW_DEBUG_CHECK_CORRECTNESS build,
         # /root/reference/src/cudasw4.cuh:728-756).
         self.debug_check = os.environ.get("CUDASW4_TPU_DEBUG_CHECK", "0") == "1"
+        qbs = os.environ.get("CUDASW4_TPU_QB_STREAM")
+        if qbs:
+            self.QB_STREAM = max(int(qbs), self.QB_MAX)
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -185,6 +188,9 @@ class SearchEngine:
                 self._chunk_sharding = NamedSharding(
                     self.mesh, PartitionSpec(self.mesh.axis_names[0])
                 )
+            self._stream_pack = None
+            if os.environ.get("CUDASW4_TPU_STREAM_PACK", "1") == "1":
+                self._stream_pack = self._build_stream_pack(pack_cache)
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")
         elif ndev > 1:
@@ -408,7 +414,17 @@ class SearchEngine:
             # (cell) or chunk with boundary carry (col) — the analog of
             # the reference's many-pass escalation for extremes.
             return self._scan_long_query(codes)
-        qpad = np.full(self.qcap, self._pad, dtype=np.int32)
+        # Pallas kernels stop their DP loops at nq, so the full-qcap pad
+        # is free on TPU and buys a single compiled program.  The
+        # portable jnp scorer walks every padded row, so on that backend
+        # pad to 256-granular tight length instead (CPU retraces are
+        # cheap; 8192-row pads measured a ~16x tax on CPU scans).
+        qlen = (
+            self.qcap
+            if self.backend == "pallas"
+            else min(self.qcap, max(256, _round_up(nq, 256)))
+        )
+        qpad = np.full(qlen, self._pad, dtype=np.int32)
         qpad[:nq] = codes
         nq_pad = max(4, -(-nq // 4) * 4)  # column-kernel row count (x unroll)
         params = np.array(
@@ -488,6 +504,19 @@ class SearchEngine:
     #: amortising the per-tile fixed costs that dominate short-query scans.
     #: (QB=16 measured +4% over 8; 32 plateaus.  Unused slots cost ~1 row.)
     QB_MAX = 16
+
+    #: Queries per *streaming* batch pass.  In streaming mode every batch
+    #: re-ships the DB host->HBM, so batch capacity divides the dominant
+    #: transfer cost directly — larger than QB_MAX is a pure win there
+    #: (kernel throughput at QB=20 measured within noise of 16, and the
+    #: reference benchmark set is exactly 20 queries: one stream instead
+    #: of 16+4).  Env override: CUDASW4_TPU_QB_STREAM.
+    QB_STREAM = 20
+
+    @property
+    def _qb_cap(self) -> int:
+        """Max queries scan_batch/scan_many group into one fused pass."""
+        return self.QB_STREAM if self.streaming else self.QB_MAX
 
     def _build_batch_scan_fn(self):
         kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
@@ -640,15 +669,16 @@ class SearchEngine:
         return out
 
     def scan_batch(self, sequences) -> list[ScanResult]:
-        """Scan up to QB_MAX queries in one fused pass (synchronous);
-        returns results in input order.  Resident DBs require lengths
-        <= QCAP_BATCH (the batch kernel's SMEM query block); streaming
-        DBs take any length (long queries ride the same streamed chunks)."""
+        """Scan up to QB_MAX (streaming: QB_STREAM) queries in one fused
+        pass (synchronous); returns results in input order.  Resident DBs
+        require lengths <= QCAP_BATCH (the batch kernel's SMEM query
+        block); streaming DBs take any length (long queries ride the
+        same streamed chunks)."""
         group = [
             encode(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.int8)
             for s in sequences
         ]
-        assert len(group) <= self.QB_MAX
+        assert len(group) <= self._qb_cap
         if self.streaming:
             return self._scan_streaming_batch(group)
         assert all(len(c) <= self._qcap_batch for c in group)
@@ -668,8 +698,10 @@ class SearchEngine:
         from collections import deque
 
         pending = deque()  # ("single"|"batch", payload...)
+        # Streaming DBs group on every backend: the batch exists to
+        # amortise the host->HBM stream, not just the batch kernel.
         batching = (
-            self.backend == "pallas"
+            (self.backend == "pallas" or self.streaming)
             and self.packed is not None
             and not self.state16
         )
@@ -731,7 +763,7 @@ class SearchEngine:
             batchable = self.streaming or nq <= self._qcap_batch
             if batching and batchable:
                 shortbuf.append(codes)
-                if len(shortbuf) == self.QB_MAX:
+                if len(shortbuf) >= self._qb_cap:
                     yield from flush_shorts()
                     while len(pending) > window:
                         yield from materialize(pending.popleft())
@@ -792,7 +824,10 @@ class SearchEngine:
         from .parallel import sharding as sh
 
         t0 = time.perf_counter()
-        QB = self.QB_MAX
+        # Slot count picks the compiled batch-kernel shape: the QB_MAX
+        # shape for resident-sized groups (shared compile cache), the
+        # QB_STREAM shape only when a bigger group actually arrives.
+        QB = self.QB_MAX if len(group) <= self.QB_MAX else self.QB_STREAM
         qcap_b = self._qcap_batch
         n = len(group)
         gop, gex = self.scoring.gop, self.scoring.gex
@@ -816,7 +851,14 @@ class SearchEngine:
         qb_dev = jnp.asarray(queries)
         # Full-query pads: kernel-capacity width for kernel paths, plus a
         # wide variant per over-capacity query for the portable scorer.
-        qpad_full = np.full((n, self.qcap), self._pad, dtype=np.int32)
+        # (jnp backend: tight 256-granular width — the portable scorer
+        # walks every padded row.)
+        if use_pallas:
+            qw = self.qcap
+        else:
+            fits = [len(c) for c in group if len(c) <= self.qcap]
+            qw = min(self.qcap, max(256, _round_up(max(fits, default=4), 256)))
+        qpad_full = np.full((n, qw), self._pad, dtype=np.int32)
         wide = {}
         for i, c in enumerate(group):
             if len(c) <= self.qcap:
@@ -913,8 +955,8 @@ class SearchEngine:
             )
             return fn(xdev, qdev, pq, self._matrix_flat, self._matrix_f32)
 
-        for b, chunk, sidx in self._stream_chunks():
-            xdev = self._put_chunk(chunk)
+        for b, chunk, sidx in self._stream_chunks_prefetched():
+            xdev = self._put_chunk(chunk, b.tiles.shape[1:])
             rows: list = [None] * n
             if shorts:
                 kind = bucket_kind(b, nq_pad=int(pads_b.max()))
@@ -1003,39 +1045,196 @@ class SearchEngine:
             )
         return out
 
-    def _put_chunk(self, chunk):
+    def _build_stream_pack(self, pack_cache: str | None):
+        """5-bit-pack every bucket's tiles for host->HBM streaming (6
+        codes per int32 word, ops/pack5.py): streamed bytes drop 1.5x,
+        which is the whole ballgame when the host->device link is the
+        streaming bottleneck (network-attached TPU runtimes measure
+        tens of MB/s; the reference's PCIe never has this problem so it
+        streams raw bytes, dbbatching.cuh).
+
+        The packed arrays live in disk-backed memmaps — a reusable
+        ``<pack_cache>.pack5/`` sidecar when a cache path is given
+        (manifest-validated; packed once per database), else anonymous
+        temp files — so host RAM stays bounded.  Returns a per-bucket
+        list of (packed [T, W] int32 memmap, packed pad-tile row [W]).
+        """
+        import json
+        import tempfile
+
+        from .ops import pack5 as p5
+
+        buckets = self.packed.buckets
+        expect = {
+            "version": 1,
+            "pad": int(self._pad),
+            "num_sequences": int(self.db.num_sequences),
+            "buckets": [
+                {
+                    "L": int(b.L), "NS": int(b.NS), "kernel": b.kernel,
+                    "T": int(b.num_tiles),
+                    "W": p5.words_for(int(np.prod(b.tiles.shape[1:]))),
+                }
+                for b in buckets
+            ],
+        }
+        sidecar = pack_cache + ".pack5" if pack_cache else None
+        fresh = False
+        if sidecar:
+            man_path = os.path.join(sidecar, "manifest.json")
+            try:
+                with open(man_path) as f:
+                    fresh = json.load(f) == expect
+            except (OSError, ValueError):
+                fresh = False
+        entries = []
+        for bi, b in enumerate(buckets):
+            tile_shape = b.tiles.shape[1:]
+            E = int(np.prod(tile_shape))
+            W = p5.words_for(E)
+            T = b.num_tiles
+            pad_row = p5.pack5(
+                np.full((1,) + tuple(tile_shape), self._pad, np.int8)
+            )[0]
+            if T == 0:
+                entries.append((np.empty((0, W), np.int32), pad_row))
+                continue
+            if sidecar:
+                path = os.path.join(sidecar, f"b{bi}.bin")
+                if fresh:
+                    mm = np.memmap(path, np.int32, mode="r", shape=(T, W))
+                    entries.append((mm, pad_row))
+                    continue
+                os.makedirs(sidecar, exist_ok=True)
+                mm = np.memmap(path, np.int32, mode="w+", shape=(T, W))
+            else:
+                f = tempfile.TemporaryFile(
+                    prefix=f"cudasw4_pack5_b{bi}_"
+                )
+                f.truncate(T * W * 4)
+                mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
+            p5.pack5(b.tiles, out=mm)
+            entries.append((mm, pad_row))
+        if sidecar and not fresh:
+            with open(os.path.join(sidecar, "manifest.json"), "w") as f:
+                json.dump(expect, f)
+        if self.verbose:
+            total = sum(mm.nbytes for mm, _ in entries)
+            print(
+                f"Streaming transfer pack: 5-bit tiles, {total/2**20:.0f}"
+                " MiB per full stream (1.5x under raw)"
+            )
+        return entries
+
+    def _put_chunk(self, chunk, tile_shape=None):
         """Host->device transfer of one streamed chunk (tile-sharded over
-        the mesh when one is configured)."""
+        the mesh when one is configured).  int32 chunks are 5-bit packed
+        transfers (ops/pack5.py): shipped packed, unpacked on device into
+        the int8 tiles the kernels consume — the unpack is elementwise
+        along the (sharded) tile axis, so it runs per shard."""
+        from .ops.pack5 import unpack5
+
+        packed = chunk.dtype == np.int32
         if self._mesh_ndev() > 1:
-            return jax.device_put(chunk, self._chunk_sharding)
+            xdev = jax.device_put(chunk, self._chunk_sharding)
+            return unpack5(xdev, tuple(tile_shape)) if packed else xdev
+        if packed:
+            # Feed the host array straight to the jitted unpack: the
+            # jit-managed input transfer is the fast path — an explicit
+            # device_put chained into a jit call measured 4x slower on
+            # the tunneled runtime (the execute stalls on the in-flight
+            # donation instead of overlapping it).
+            return unpack5(np.ascontiguousarray(chunk), tuple(tile_shape))
         return jax.device_put(chunk)
 
     def _stream_chunks(self):
-        """Yield (bucket, chunk_tiles, chunk_seq_index) with fixed chunk
-        shapes per bucket (padding the final partial chunk).  Chunk tile
-        counts are multiples of the mesh size so each chunk shards evenly."""
+        """Yield (bucket, chunk, chunk_seq_index) with fixed chunk shapes
+        per bucket (padding the final partial chunk).  Chunk tile counts
+        are multiples of the mesh size so each chunk shards evenly.  With
+        the 5-bit transfer pack enabled, ``chunk`` is the packed int32
+        representation ([ct, W]); ``_put_chunk`` unpacks on device."""
         ndev = self._mesh_ndev()
-        for b in self.packed.buckets:
+        spack = getattr(self, "_stream_pack", None)
+        for bi, b in enumerate(self.packed.buckets):
             bytes_per_tile = b.L * b.NS
             ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
             ct = max(ndev, ct // ndev * ndev)
             T = b.num_tiles
             ct = min(ct, _round_up(T, ndev))
+            if spack is not None:
+                src, pad_row = spack[bi]
+            else:
+                src, pad_row = b.tiles, None
             for t0 in range(0, T, ct):
                 t1 = min(t0 + ct, T)
-                chunk = b.tiles[t0:t1]
+                chunk = src[t0:t1]
                 sidx = b.seq_index[t0:t1]
                 if t1 - t0 < ct:
                     pad = ct - (t1 - t0)
-                    chunk = np.concatenate(
-                        [chunk,
-                         np.full((pad,) + b.tiles.shape[1:], self._pad,
-                                 np.int8)]
-                    )
+                    if spack is not None:
+                        filler = np.broadcast_to(
+                            pad_row, (pad,) + pad_row.shape
+                        )
+                    else:
+                        filler = np.full(
+                            (pad,) + b.tiles.shape[1:], self._pad, np.int8
+                        )
+                    chunk = np.concatenate([chunk, filler])
                     sidx = np.concatenate(
                         [sidx, np.full((pad, b.NS), -1, np.int32)]
                     )
                 yield b, chunk, sidx
+
+    def _stream_chunks_prefetched(self, depth: int = 2):
+        """`_stream_chunks` with the host-side chunk assembly (memmap/disk
+        read, tail padding, contiguity copy) moved onto a worker thread,
+        a ``depth``-deep queue ahead of the device.  Streamed tiles live
+        in disk-backed memmaps, so without this the page-in of chunk t+1
+        sits on the dispatch thread's critical path between device calls
+        — the analog of the reference's pinned-copy worker thread
+        (cudasw4.cuh:1649-1707, cudaLaunchHostFunc copy path).  Pure
+        numpy in the worker; all jax dispatch stays on the caller's
+        thread.  Disable with CUDASW4_TPU_STREAM_PREFETCH=0."""
+        import queue
+        import threading
+
+        if os.environ.get("CUDASW4_TPU_STREAM_PREFETCH", "1") != "1":
+            yield from self._stream_chunks()
+            return
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+        DONE = object()
+
+        def worker():
+            try:
+                for b, chunk, sidx in self._stream_chunks():
+                    item = (b, np.ascontiguousarray(chunk), sidx)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+                q.put(DONE)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+
+        t = threading.Thread(
+            target=worker, name="cudasw4-stream-prefetch", daemon=True
+        )
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is DONE:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def _scan_long_query(self, codes) -> ScanResult:
         """Resident-DB scan of a query beyond the engine's default qcap:
@@ -1051,8 +1250,12 @@ class SearchEngine:
 
         nq = len(codes)
         # QCAP-granular padding bounds the jit compile cache (one program
-        # per QCAP multiple, not per query length).
-        qpad_len = max(self.qcap, _round_up(nq, sw_pallas_cell.QCAP))
+        # per QCAP multiple, not per query length) on the Pallas backend;
+        # the portable scorer pays per padded row, so jnp pads tight.
+        if self.backend == "pallas":
+            qpad_len = max(self.qcap, _round_up(nq, sw_pallas_cell.QCAP))
+        else:
+            qpad_len = max(256, _round_up(nq, 256))
         qpad = np.full(qpad_len, self._pad, dtype=np.int32)
         qpad[:nq] = codes
         nq_pad = max(4, -(-nq // 4) * 4)
@@ -1103,10 +1306,15 @@ class SearchEngine:
                     exact=True, interpret=INTERPRET,
                 )
             else:
+                # The portable scorer's lax.scan walks every padded query
+                # row, so feed it a tight 256-granular slice — the
+                # QCAP-granular pad (8192 steps) only costs nothing on
+                # the Pallas kernels, whose DP loops stop at nq.
+                qj = qdev[: min(qpad_len, max(256, _round_up(nq, 256)))]
                 s = score_tiles_jnp_chunked(
                     tiles if tiles.ndim == 3
                     else tiles.reshape(tiles.shape[0], tiles.shape[1], -1),
-                    qdev, self._matrix_f32, gop, gex, jnp.int32(nq),
+                    qj, self._matrix_f32, gop, gex, jnp.int32(nq),
                 )
             parts.append(np.asarray(s).reshape(-1))
         flat_idx = np.asarray(self._flat_idx)

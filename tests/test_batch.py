@@ -144,3 +144,36 @@ def test_engine_scan_batch_streaming_mixed_lengths(rng):
     for q, res in zip(queries, batch):
         single = resident.scan(q)
         assert res.scores == single.scores
+
+
+def test_engine_streaming_qb_stream_one_pass(rng):
+    """Streaming mode groups up to QB_STREAM (> QB_MAX) queries so the
+    whole reference 20-query ladder ships the DB host->HBM once; results
+    still match resident scans."""
+    db = _make_db(rng, n=200)
+    resident = SearchEngine(num_top=4)
+    resident.set_database(db)
+    streaming = SearchEngine(num_top=4, max_device_bytes=1024,
+                             stream_chunk_bytes=4096)
+    streaming.QB_MAX = 3
+    streaming.QB_STREAM = 5
+    streaming.set_database(db)
+    assert streaming.streaming and streaming._qb_cap == 5
+
+    passes = 0
+    orig = type(streaming)._stream_chunks
+
+    def counting(self):
+        nonlocal passes
+        passes += 1
+        return orig(self)
+
+    streaming._stream_chunks = counting.__get__(streaming)
+    queries = [rng.integers(0, 20, size=int(q)) for q in (12, 22, 33, 44, 55)]
+    got = list(streaming.scan_many(queries))
+    assert passes == 1  # one group of 5 = one full DB stream
+    assert len(got) == 5
+    for q, res in zip(queries, got):
+        single = resident.scan(q)
+        assert res.scores == single.scores
+        assert res.reference_ids == single.reference_ids

@@ -1,0 +1,126 @@
+"""5-bit transfer packing (ops/pack5.py) and the packed streaming path.
+
+Streaming mode ships tiles host->HBM at 5.33 bits/residue (6 codes per
+int32 word) and unpacks on device; scores must be identical to raw-byte
+streaming and to the resident scan.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from cudasw4_tpu.db.fasta import write_fasta
+from cudasw4_tpu.db.format import load_db, make_db
+from cudasw4_tpu.engine import SearchEngine
+from cudasw4_tpu.ops import pack5
+
+AAS = "ARNDCQEGHILKMFPSTWYV"
+
+
+def test_pack5_roundtrip(rng):
+    for shape in [(3, 16, 4, 8), (2, 7, 5), (1, 6), (4, 1)]:
+        tiles = rng.integers(0, 26, size=shape).astype(np.int8)
+        packed = pack5.pack5(tiles)
+        E = int(np.prod(shape[1:]))
+        assert packed.shape == (shape[0], pack5.words_for(E))
+        assert packed.dtype == np.int32
+        assert (packed >= 0).all()  # top bits unused: shifts well-defined
+        back = pack5.unpack5_np(packed, shape[1:])
+        np.testing.assert_array_equal(back, tiles)
+        back_dev = np.asarray(pack5.unpack5(packed, tuple(shape[1:])))
+        np.testing.assert_array_equal(back_dev, tiles)
+
+
+def test_pack5_out_and_slab(rng):
+    tiles = rng.integers(0, 21, size=(130, 10, 3)).astype(np.int8)
+    out = np.zeros((130, pack5.words_for(30)), np.int32)
+    got = pack5.pack5(tiles, out=out, slab=7)
+    assert got is out
+    np.testing.assert_array_equal(
+        pack5.unpack5_np(out, (10, 3)), tiles
+    )
+
+
+@pytest.fixture
+def db(tmp_path, rng):
+    recs = [
+        (f"s{i}", "".join(AAS[c] for c in rng.integers(0, 20, int(n))))
+        for i, n in enumerate(rng.integers(5, 90, 40))
+    ]
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    return load_db(str(tmp_path / "db"))
+
+
+def _results(eng, qs):
+    return [(r.scores, r.reference_ids) for r in eng.scan_batch(qs)]
+
+
+def test_streaming_packed_matches_raw(db, rng, monkeypatch):
+    qs = [rng.integers(0, 20, int(n)).astype(np.int8) for n in (12, 30, 55)]
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "0")
+    raw = SearchEngine(num_top=10, qcap=64, max_device_bytes=1)
+    raw.set_database(db)
+    assert raw.streaming and raw._stream_pack is None
+    want = _results(raw, qs)
+
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "1")
+    eng = SearchEngine(num_top=10, qcap=64, max_device_bytes=1)
+    eng.set_database(db)
+    assert eng.streaming and eng._stream_pack is not None
+    assert _results(eng, qs) == want
+
+    resident = SearchEngine(num_top=10, qcap=64)
+    resident.set_database(db)
+    assert _results(resident, qs) == want
+
+
+def test_streaming_prefetch_off_matches_on(db, rng, monkeypatch):
+    """The prefetch worker thread only moves host-side chunk assembly;
+    results must be identical with it disabled."""
+    qs = [rng.integers(0, 20, int(n)).astype(np.int8) for n in (15, 48)]
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PREFETCH", "0")
+    off = SearchEngine(num_top=10, qcap=64, max_device_bytes=1)
+    off.set_database(db)
+    want = _results(off, qs)
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PREFETCH", "1")
+    on = SearchEngine(num_top=10, qcap=64, max_device_bytes=1)
+    on.set_database(db)
+    assert _results(on, qs) == want
+
+
+def test_streaming_prefetch_propagates_worker_error(db, monkeypatch):
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PREFETCH", "1")
+    eng = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+    eng.set_database(db)
+
+    def boom():
+        raise RuntimeError("disk gone")
+        yield  # pragma: no cover
+
+    eng._stream_chunks = boom
+    with pytest.raises(RuntimeError, match="disk gone"):
+        eng.scan(np.zeros(8, np.int8))
+
+
+def test_streaming_pack_sidecar_reuse(db, rng, tmp_path, monkeypatch):
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "1")
+    cache = str(tmp_path / "cache")
+    q = rng.integers(0, 20, 20).astype(np.int8)
+
+    eng = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+    eng.set_database(db, pack_cache=cache)
+    want = eng.scan(q)
+    sidecar = cache + ".pack5"
+    assert os.path.exists(os.path.join(sidecar, "manifest.json"))
+
+    # Second engine must reuse the sidecar read-only (memmap mode "r").
+    eng2 = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+    eng2.set_database(db, pack_cache=cache)
+    mm, _pad = eng2._stream_pack[0]
+    assert isinstance(mm, np.memmap) and mm.mode == "r"
+    got = eng2.scan(q)
+    assert got.scores == want.scores
+    assert got.reference_ids == want.reference_ids
