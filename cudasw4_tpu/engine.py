@@ -104,7 +104,9 @@ class SearchEngine:
         self.debug_check = os.environ.get("CUDASW4_TPU_DEBUG_CHECK", "0") == "1"
         qbs = os.environ.get("CUDASW4_TPU_QB_STREAM")
         if qbs:
-            self.QB_STREAM = max(int(qbs), self.QB_MAX)
+            # May be lowered below QB_MAX (memory-tight hosts shrink the
+            # (QB, qcap) query block); scan_batch caps against _qb_cap.
+            self.QB_STREAM = max(1, int(qbs))
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -826,8 +828,10 @@ class SearchEngine:
         t0 = time.perf_counter()
         # Slot count picks the compiled batch-kernel shape: the QB_MAX
         # shape for resident-sized groups (shared compile cache), the
-        # QB_STREAM shape only when a bigger group actually arrives.
-        QB = self.QB_MAX if len(group) <= self.QB_MAX else self.QB_STREAM
+        # QB_STREAM shape only when a bigger group actually arrives (or
+        # QB_STREAM was lowered below QB_MAX to shrink the query block).
+        small = min(self.QB_MAX, self.QB_STREAM)
+        QB = small if len(group) <= small else self.QB_STREAM
         qcap_b = self._qcap_batch
         n = len(group)
         gop, gex = self.scoring.gop, self.scoring.gex
@@ -1066,9 +1070,13 @@ class SearchEngine:
 
         buckets = self.packed.buckets
         expect = {
-            "version": 1,
+            "version": 2,
             "pad": int(self._pad),
             "num_sequences": int(self.db.num_sequences),
+            # Total residues distinguishes DBs whose bucket geometry
+            # happens to coincide (same validation pair as the main tile
+            # cache, db/packing.py load_packed).
+            "total_chars": int(np.asarray(self.db.lengths, np.int64).sum()),
             "buckets": [
                 {
                     "L": int(b.L), "NS": int(b.NS), "kernel": b.kernel,
@@ -1099,15 +1107,25 @@ class SearchEngine:
             if T == 0:
                 entries.append((np.empty((0, W), np.int32), pad_row))
                 continue
+            mm = None
             if sidecar:
-                path = os.path.join(sidecar, f"b{bi}.bin")
-                if fresh:
-                    mm = np.memmap(path, np.int32, mode="r", shape=(T, W))
-                    entries.append((mm, pad_row))
-                    continue
-                os.makedirs(sidecar, exist_ok=True)
-                mm = np.memmap(path, np.int32, mode="w+", shape=(T, W))
-            else:
+                # The sidecar is best-effort, like the main tile cache: a
+                # read-only DB directory or a truncated file falls back
+                # to anonymous temp files instead of failing the scan.
+                try:
+                    path = os.path.join(sidecar, f"b{bi}.bin")
+                    if fresh:
+                        mm = np.memmap(
+                            path, np.int32, mode="r", shape=(T, W)
+                        )
+                        entries.append((mm, pad_row))
+                        continue
+                    os.makedirs(sidecar, exist_ok=True)
+                    mm = np.memmap(path, np.int32, mode="w+", shape=(T, W))
+                except OSError:
+                    sidecar = None
+                    mm = None
+            if mm is None:
                 f = tempfile.TemporaryFile(
                     prefix=f"cudasw4_pack5_b{bi}_"
                 )
@@ -1116,8 +1134,11 @@ class SearchEngine:
             p5.pack5(b.tiles, out=mm)
             entries.append((mm, pad_row))
         if sidecar and not fresh:
-            with open(os.path.join(sidecar, "manifest.json"), "w") as f:
-                json.dump(expect, f)
+            try:
+                with open(os.path.join(sidecar, "manifest.json"), "w") as f:
+                    json.dump(expect, f)
+            except OSError:
+                pass
         if self.verbose:
             total = sum(mm.nbytes for mm, _ in entries)
             print(
@@ -1205,21 +1226,29 @@ class SearchEngine:
         stop = threading.Event()
         DONE = object()
 
+        def put(item) -> bool:
+            # Bounded put that gives up once the consumer is gone, so an
+            # aborted scan never leaves the worker blocked holding chunk
+            # buffers.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b, chunk, sidx in self._stream_chunks():
-                    item = (b, np.ascontiguousarray(chunk), sidx)
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    # Force a real copy: a contiguous memmap slice is a
+                    # no-copy view, and the point of this thread is to
+                    # take the disk page-in off the dispatch thread.
+                    if not put((b, np.array(chunk, copy=True), sidx)):
                         return
-                q.put(DONE)
+                put(DONE)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(
             target=worker, name="cudasw4-stream-prefetch", daemon=True

@@ -109,9 +109,13 @@ def batch_col_scores(
 def col_batch_geometry(max_pad: int, QB: int) -> tuple[int, int]:
     """(R, S) for the multi-slot column kernel: R = slot row capacity
     (power of two >= the largest unroll-padded query in the batch), S =
-    slots per pass (divides QB so groups tile the batch exactly; total
-    state S*R <= COL_BATCH_RMAX keeps every batched pass at the 32 MB
-    state budget that is stable inside large fused programs)."""
+    largest power-of-two slots per pass with total state S*R <=
+    COL_BATCH_RMAX (the 32 MB state budget that is stable inside large
+    fused programs).  S need not divide QB: batch_col_scores pads the
+    final partial group with 4-row pad-letter slots, which is far
+    cheaper than the extra full passes an exact-divisor S would take
+    (each pass pays a tile stream + LUT build; QB=20 with divisor S=4
+    is 5 passes vs 2 at S=16)."""
     from . import sw_pallas_col
 
     R = 4
@@ -119,7 +123,7 @@ def col_batch_geometry(max_pad: int, QB: int) -> tuple[int, int]:
         R *= 2
     cap = max(1, sw_pallas_col.COL_BATCH_RMAX // R)
     S = 1
-    while S * 2 <= min(cap, QB) and QB % (S * 2) == 0:
+    while S * 2 <= min(cap, QB):
         S *= 2
     return R, S
 

@@ -51,9 +51,11 @@ def pack5(tiles: np.ndarray, out: np.ndarray | None = None,
         # 0..25 (classic pad 20 / full-blosum pad 25).  Sample-check the
         # first slab rather than paying a full extra pass.
         first = np.asarray(tiles[: min(slab, T)])
-        assert first.dtype == np.int8 and int(first.max(initial=0)) < 32, (
-            "pack5 requires 5-bit codes"
-        )
+        assert (
+            first.dtype == np.int8
+            and int(first.max(initial=0)) < 32
+            and int(first.min(initial=0)) >= 0
+        ), "pack5 requires non-negative 5-bit codes"
     for t0 in range(0, T, slab):
         t1 = min(t0 + slab, T)
         flat = np.asarray(tiles[t0:t1]).reshape(t1 - t0, E)

@@ -124,3 +124,58 @@ def test_streaming_pack_sidecar_reuse(db, rng, tmp_path, monkeypatch):
     got = eng2.scan(q)
     assert got.scores == want.scores
     assert got.reference_ids == want.reference_ids
+
+
+def test_streaming_pack_sidecar_stale_on_char_change(db, rng, tmp_path,
+                                                     monkeypatch):
+    """A DB with the same sequence count and bucket geometry but
+    different residues must NOT reuse the old sidecar (manifest records
+    total_chars)."""
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "1")
+    cache = str(tmp_path / "cache")
+    eng = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+    eng.set_database(db, pack_cache=cache)
+
+    import dataclasses
+
+    # One residue shorter in some sequence (stays within its padded
+    # slot and keeps the ascending sort): the main tile cache repacks,
+    # and the pack5 sidecar must repack with it.
+    lengths2 = np.array(db.lengths).copy()
+    i = next(
+        i for i in range(len(lengths2))
+        if lengths2[i] > 5 and (i == 0 or lengths2[i] - 1 >= lengths2[i - 1])
+    )
+    lengths2[i] -= 1
+    db2 = dataclasses.replace(db, lengths=lengths2)
+    eng2 = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+    eng2.set_database(db2, pack_cache=str(tmp_path / "cache2"))
+    eng3 = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+    eng3.set_database(db2, pack_cache=cache)  # stale sidecar dir
+    q = rng.integers(0, 20, 20).astype(np.int8)
+    want = eng2.scan(q)
+    got = eng3.scan(q)
+    assert got.scores == want.scores
+    assert got.reference_ids == want.reference_ids
+
+
+def test_streaming_pack_sidecar_readonly_fallback(db, rng, tmp_path,
+                                                  monkeypatch):
+    """An unwritable sidecar location must fall back to temp files, not
+    fail set_database (cache is best-effort, like the main tile store)."""
+    import stat
+
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "1")
+    rodir = tmp_path / "ro"
+    rodir.mkdir()
+    os.chmod(rodir, stat.S_IRUSR | stat.S_IXUSR)
+    try:
+        eng = SearchEngine(num_top=5, qcap=64, max_device_bytes=1)
+        eng.set_database(db, pack_cache=str(rodir / "cache"))
+        assert eng._stream_pack is not None
+        q = rng.integers(0, 20, 20).astype(np.int8)
+        ref = SearchEngine(num_top=5, qcap=64)
+        ref.set_database(db)
+        assert eng.scan(q).scores == ref.scan(q).scores
+    finally:
+        os.chmod(rodir, stat.S_IRWXU)
