@@ -885,6 +885,13 @@ class SearchEngine:
             return wide[key]
         per_scores: list[list] = [[] for _ in range(n)]
         id_parts: list[np.ndarray] = []
+        # ndev > 1: per-chunk device-side candidate merge (per-shard
+        # top-k + all_gather -> replicated, fetchable on every process
+        # of a multi-host mesh); full sharded score rows cannot be
+        # fetched to the host there.
+        cand_scores: list[list] = [[] for _ in range(n)]
+        cand_ids: list[list] = [[] for _ in range(n)]
+        k = self.results_per_query
         pending: list[tuple] = []
 
         def stream_fn(key, build):
@@ -896,7 +903,15 @@ class SearchEngine:
 
         def drain(limit):
             while len(pending) > limit:
-                rows, sidx = pending.pop(0)
+                entry = pending.pop(0)
+                if entry[0] == "cand":
+                    _, vg, ig = entry
+                    vg, ig = np.asarray(vg), np.asarray(ig)
+                    for i in range(n):
+                        cand_scores[i].append(vg[i])
+                        cand_ids[i].append(ig[i])
+                    continue
+                _, rows, sidx = entry
                 ids = sidx.reshape(-1)
                 keep = ids >= 0
                 id_parts.append(ids[keep])
@@ -1007,29 +1022,54 @@ class SearchEngine:
                         rows[i] = score_one(xdev, b, i)
             for i in longs:
                 rows[i] = score_one(xdev, b, i)
-            pending.append((rows, sidx))
+            if ndev > 1:
+                fn = stream_fn(
+                    ("chunkcand", n),
+                    lambda: sh.build_sharded_chunk_candidates(
+                        self.mesh, n, k
+                    ),
+                )
+                sdev = jax.device_put(sidx, self._chunk_sharding)
+                vg, ig = fn(tuple(rows), sdev)
+                pending.append(("cand", vg, ig))
+            else:
+                pending.append(("rows", rows, sidx))
             drain(2)
         drain(0)
 
         ids = (
             np.concatenate(id_parts) if id_parts else np.zeros(0, np.int32)
         )
-        k = self.results_per_query
         seconds = time.perf_counter() - t0
         db_chars = float(self.packed.total_real_chars)
         total_cells = sum(len(c) for c in group) * db_chars
         out = []
         for i, c in enumerate(group):
-            scores = (
-                np.concatenate(per_scores[i])
-                if per_scores[i]
-                else np.zeros(0, np.float32)
-            )
+            if ndev > 1:
+                scores = (
+                    np.concatenate(cand_scores[i])
+                    if cand_scores[i]
+                    else np.zeros(0, np.float32)
+                )
+                ids_i_all = (
+                    np.concatenate(cand_ids[i])
+                    if cand_ids[i]
+                    else np.zeros(0, np.int32)
+                )
+                keep = ids_i_all >= 0
+                scores, ids_q = scores[keep], ids_i_all[keep]
+            else:
+                scores = (
+                    np.concatenate(per_scores[i])
+                    if per_scores[i]
+                    else np.zeros(0, np.float32)
+                )
+                ids_q = ids
             if k == 0 or len(scores) == 0:
                 vals_i, ids_i = np.zeros(0, np.float32), np.zeros(0, np.int32)
             else:
-                order = np.lexsort((ids, -scores))[:k]
-                vals_i, ids_i = scores[order], ids[order]
+                order = np.lexsort((ids_q, -scores))[:k]
+                vals_i, ids_i = scores[order], ids_q[order]
             cells = float(len(c)) * db_chars
             self._total_cells += cells
             q_seconds = (

@@ -312,6 +312,45 @@ def build_sharded_scan_chunked(
 # onto a mesh.
 
 
+def build_sharded_chunk_candidates(mesh: Mesh, n: int, k: int):
+    """jitted (rows_tuple of n tile-sharded score arrays, sidx sharded
+    the same way) -> (scores [n, ndev*kl], ids [n, ndev*kl]) replicated.
+
+    The multiprocess-safe fetch of one streamed chunk's results: fetching
+    tile-sharded scores to the host is impossible on a multi-host mesh
+    (non-addressable shards), so each shard reduces to its top-k
+    candidates and an ``all_gather`` replicates them (a few KB) — the
+    reference's per-GPU top-k + master-GPU merge per batch
+    (/root/reference/src/cudasw4.cuh:1362-1463), per streamed chunk.
+    Ties at the per-shard boundary resolve to the lowest id because a
+    chunk is a contiguous slice of one bucket's tiles, whose slot order
+    is ascending-id (see _merge_topk); the host's final
+    lexsort((ids, -scores)) over all chunks' candidates applies the
+    engine-wide rule.  Invalid (padding) slots carry id -1 and score -1;
+    the host filters them."""
+    axis = mesh.axis_names[0]
+
+    def body(rows_tuple, sidx):
+        ids = sidx.reshape(-1)
+        rows = jnp.stack([r.reshape(-1) for r in rows_tuple])
+        rows = jnp.where((ids >= 0)[None, :], rows, -1.0)
+        kl = max(1, min(k, rows.shape[1]))
+        v, i = jax.lax.top_k(rows, kl)
+        ids_sel = jnp.take(ids, i)
+        vg = jax.lax.all_gather(v, axis, axis=1).reshape(n, -1)
+        ig = jax.lax.all_gather(ids_sel, axis, axis=1).reshape(n, -1)
+        return vg, ig
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(tuple(P(axis) for _ in range(n)), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def build_sharded_bucket_scorer(
     mesh: Mesh, kind: str, use_pallas: bool, exact: bool = False
 ):

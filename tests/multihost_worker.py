@@ -68,6 +68,18 @@ def main():
     batch = engine.scan_batch(queries[:2])
     for res in batch:
         print(f"BATCH {pid} {res.scores} {res.reference_ids}", flush=True)
+
+    # Sharded streaming with the 5-bit transfer pack: chunks shard over
+    # the same global mesh and each process unpacks its shard.
+    os.environ["CUDASW4_TPU_STREAM_PACK"] = "1"
+    seng = SearchEngine(
+        num_top=10, qcap=64, mesh=global_mesh(), max_device_bytes=1,
+        stream_chunk_bytes=1 << 14,
+    )
+    seng.set_database(db)
+    assert seng.streaming and seng._stream_pack is not None
+    sres = seng.scan(queries[0])
+    print(f"STREAM {pid} {sres.scores} {sres.reference_ids}", flush=True)
     print(f"DONE {pid} primary={is_primary()}", flush=True)
 
 
