@@ -190,8 +190,14 @@ class SearchEngine:
                 self._chunk_sharding = NamedSharding(
                     self.mesh, PartitionSpec(self.mesh.axis_names[0])
                 )
+            from .ops.pack5 import choose_codec
+
             self._stream_pack = None
-            if os.environ.get("CUDASW4_TPU_STREAM_PACK", "1") == "1":
+            self._stream_codec = choose_codec(
+                os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"),
+                int(self._pad),
+            )
+            if self._stream_codec:
                 self._stream_pack = self._build_stream_pack(pack_cache)
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")
@@ -1090,12 +1096,13 @@ class SearchEngine:
         return out
 
     def _build_stream_pack(self, pack_cache: str | None):
-        """5-bit-pack every bucket's tiles for host->HBM streaming (6
-        codes per int32 word, ops/pack5.py): streamed bytes drop 1.5x,
-        which is the whole ballgame when the host->device link is the
-        streaming bottleneck (network-attached TPU runtimes measure
-        tens of MB/s; the reference's PCIe never has this problem so it
-        streams raw bytes, dbbatching.cuh).
+        """Pack every bucket's tiles for host->HBM streaming
+        (ops/pack5.py, codec in ``self._stream_codec``: b32 = 6 codes
+        per int32 word, b21 = 7): streamed bytes drop 1.5-1.8x, which is
+        the whole ballgame when the host->device link is the streaming
+        bottleneck (network-attached TPU runtimes measure tens of MB/s;
+        the reference's PCIe never has this problem so it streams raw
+        bytes, dbbatching.cuh).
 
         The packed arrays live in disk-backed memmaps — a reusable
         ``<pack_cache>.pack5/`` sidecar when a cache path is given
@@ -1108,9 +1115,12 @@ class SearchEngine:
 
         from .ops import pack5 as p5
 
+        codec = self._stream_codec
+        _cpw, words_for, pack, _uj, _un, _maxc = p5.CODECS[codec]
         buckets = self.packed.buckets
         expect = {
             "version": 2,
+            "codec": codec,
             "pad": int(self._pad),
             "num_sequences": int(self.db.num_sequences),
             # Total residues distinguishes DBs whose bucket geometry
@@ -1121,7 +1131,7 @@ class SearchEngine:
                 {
                     "L": int(b.L), "NS": int(b.NS), "kernel": b.kernel,
                     "T": int(b.num_tiles),
-                    "W": p5.words_for(int(np.prod(b.tiles.shape[1:]))),
+                    "W": words_for(int(np.prod(b.tiles.shape[1:]))),
                 }
                 for b in buckets
             ],
@@ -1139,9 +1149,9 @@ class SearchEngine:
         for bi, b in enumerate(buckets):
             tile_shape = b.tiles.shape[1:]
             E = int(np.prod(tile_shape))
-            W = p5.words_for(E)
+            W = words_for(E)
             T = b.num_tiles
-            pad_row = p5.pack5(
+            pad_row = pack(
                 np.full((1,) + tuple(tile_shape), self._pad, np.int8)
             )[0]
             if T == 0:
@@ -1171,7 +1181,7 @@ class SearchEngine:
                 )
                 f.truncate(T * W * 4)
                 mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
-            p5.pack5(b.tiles, out=mm)
+            pack(b.tiles, out=mm)
             entries.append((mm, pad_row))
         if sidecar and not fresh:
             try:
@@ -1181,31 +1191,35 @@ class SearchEngine:
                 pass
         if self.verbose:
             total = sum(mm.nbytes for mm, _ in entries)
+            bits = 32.0 / _cpw
             print(
-                f"Streaming transfer pack: 5-bit tiles, {total/2**20:.0f}"
-                " MiB per full stream (1.5x under raw)"
+                f"Streaming transfer pack: {codec} tiles "
+                f"({bits:.2f} bits/char), {total/2**20:.0f}"
+                f" MiB per full stream ({8.0/bits:.2f}x under raw)"
             )
         return entries
 
     def _put_chunk(self, chunk, tile_shape=None):
         """Host->device transfer of one streamed chunk (tile-sharded over
-        the mesh when one is configured).  int32 chunks are 5-bit packed
-        transfers (ops/pack5.py): shipped packed, unpacked on device into
-        the int8 tiles the kernels consume — the unpack is elementwise
-        along the (sharded) tile axis, so it runs per shard."""
-        from .ops.pack5 import unpack5
+        the mesh when one is configured).  int32 chunks are packed
+        transfers (ops/pack5.py, codec self._stream_codec): shipped
+        packed, unpacked on device into the int8 tiles the kernels
+        consume — the unpack is elementwise along the (sharded) tile
+        axis, so it runs per shard."""
+        from .ops.pack5 import CODECS
 
         packed = chunk.dtype == np.int32
+        unpack = CODECS[self._stream_codec][3] if packed else None
         if self._mesh_ndev() > 1:
             xdev = jax.device_put(chunk, self._chunk_sharding)
-            return unpack5(xdev, tuple(tile_shape)) if packed else xdev
+            return unpack(xdev, tuple(tile_shape)) if packed else xdev
         if packed:
             # Feed the host array straight to the jitted unpack: the
             # jit-managed input transfer is the fast path — an explicit
             # device_put chained into a jit call measured 4x slower on
             # the tunneled runtime (the execute stalls on the in-flight
             # donation instead of overlapping it).
-            return unpack5(np.ascontiguousarray(chunk), tuple(tile_shape))
+            return unpack(np.ascontiguousarray(chunk), tuple(tile_shape))
         return jax.device_put(chunk)
 
     def _stream_chunks(self):

@@ -1,18 +1,25 @@
-"""5-bit transfer packing: 6 residue codes per int32 word.
+"""Transfer packing: 6-7 residue codes per int32 word.
 
 Host->device bandwidth is the wall for streaming-mode scans (databases
 beyond device memory re-stream host->HBM once per query batch — the
 reference's batched copy pipeline, /root/reference/src/cudasw4.cuh:1490+).
-Residue codes occupy 5 bits (0..20 classic, 0..25 full-blosum), so
-packing 6 codes into each int32 word ships 5.33 bits/char instead of 8 —
-a 1.5x cut in streamed bytes.  The device unpacks with int32 shifts in a
-tiny jitted prologue (HBM-bandwidth trivial next to the transfer), so
-the DP kernels see ordinary int8 tiles and stay untouched.
+Two codecs:
 
-The reference streams raw converted bytes (dbbatching.cuh) because PCIe
-at tens of GB/s is never its bottleneck; on network-attached TPU
-runtimes the transfer link is 2-3 orders slower and packing is the
-difference between transfer-bound and compute-bound streaming.
+- ``b32`` (5-bit fields): 6 codes/word = 5.33 bits/char, valid for any
+  code 0..31 (covers the full-blosum alphabet, pad 25); unpacks with
+  shifts.
+- ``b21`` (base-21 positional): 7 codes/word = 4.43 bits/char (21^7 <
+  2^31), valid for the classic alphabet only (codes 0..20); unpacks
+  with constant-divisor divmods.  ~17% fewer streamed bytes than b32,
+  3% above the uniform-alphabet entropy floor (log2 21 = 4.39).
+
+The device unpack runs in a tiny jitted prologue (HBM-bandwidth trivial
+next to the transfer), so the DP kernels see ordinary int8 tiles and
+stay untouched.  The reference streams raw converted bytes
+(dbbatching.cuh) because PCIe at tens of GB/s is never its bottleneck;
+on network-attached TPU runtimes the transfer link is 2-3 orders slower
+and packing is the difference between transfer-bound and compute-bound
+streaming.
 """
 
 from __future__ import annotations
@@ -23,9 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: Codes per int32 word (5 bits each, bits 0..29; top 2 bits unused so
-#: every word is non-negative and right shifts are well-defined).
+#: b32: codes per int32 word (5 bits each, bits 0..29; top 2 bits unused
+#: so every word is non-negative and right shifts are well-defined).
 CPW = 6
+
+#: b21: codes per int32 word (21^7 = 1.80e9 < 2^31: every word fits a
+#: non-negative int32).
+CPW21 = 7
+BASE21 = 21
 
 
 def words_for(elems: int) -> int:
@@ -99,3 +111,103 @@ def unpack5_np(packed: np.ndarray, shape: tuple) -> np.ndarray:
         chars.reshape(T, W * CPW)[:, :E].astype(np.int8)
         .reshape((T,) + tuple(shape))
     )
+
+
+# --------------------------------------------------------------- b21 codec
+
+
+def words_for21(elems: int) -> int:
+    """int32 words per tile for ``elems`` codes in base-21 packing."""
+    return -(-elems // CPW21)
+
+
+def pack21(tiles: np.ndarray, out: np.ndarray | None = None,
+           slab: int = 64) -> np.ndarray:
+    """Base-21 pack: int8 code tiles [T, ...] -> int32 [T, W21].
+
+    Codes must be 0..20 (classic alphabet incl. pad 20).  Word value =
+    sum_k code_k * 21^k (code 0 of each word in the low digits)."""
+    T = tiles.shape[0]
+    E = int(np.prod(tiles.shape[1:]))
+    W = words_for21(E)
+    if out is None:
+        out = np.empty((T, W), np.int32)
+    if T:
+        first = np.asarray(tiles[: min(slab, T)])
+        assert (
+            first.dtype == np.int8
+            and int(first.max(initial=0)) < BASE21
+            and int(first.min(initial=0)) >= 0
+        ), "pack21 requires codes 0..20"
+    for t0 in range(0, T, slab):
+        t1 = min(t0 + slab, T)
+        flat = np.asarray(tiles[t0:t1]).reshape(t1 - t0, E)
+        if E != W * CPW21:
+            flat = np.concatenate(
+                [flat, np.zeros((t1 - t0, W * CPW21 - E), np.int8)], axis=1
+            )
+        grp = flat.reshape(t1 - t0, W, CPW21).astype(np.int32)
+        acc = grp[:, :, CPW21 - 1].copy()
+        for k in range(CPW21 - 2, -1, -1):
+            acc *= BASE21
+            acc += grp[:, :, k]
+        out[t0:t1] = acc
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def unpack21(packed: jax.Array, shape: tuple) -> jax.Array:
+    """Device unpack: base-21 int32 [T, W21] -> int8 [T, *shape].
+
+    Constant-divisor divmods (XLA lowers them to multiply-shift);
+    elementwise along the tile axis so sharded inputs unpack per shard."""
+    T, W = packed.shape
+    E = int(np.prod(shape))
+    w = packed
+    digits = []
+    for _ in range(CPW21):
+        digits.append((w % BASE21).astype(jnp.int8))
+        w = w // BASE21
+    chars = jnp.stack(digits, axis=-1)  # [T, W, CPW21]
+    return (
+        chars.reshape(T, W * CPW21)[:, :E]
+        .reshape((T,) + tuple(shape))
+    )
+
+
+def unpack21_np(packed: np.ndarray, shape: tuple) -> np.ndarray:
+    """NumPy reference unpack for the b21 codec."""
+    T, W = packed.shape
+    E = int(np.prod(shape))
+    w = packed.astype(np.int64)
+    digits = []
+    for _ in range(CPW21):
+        digits.append((w % BASE21).astype(np.int8))
+        w = w // BASE21
+    chars = np.stack(digits, axis=-1)
+    return (
+        chars.reshape(T, W * CPW21)[:, :E]
+        .reshape((T,) + tuple(shape))
+    )
+
+
+# ------------------------------------------------------------- codec table
+
+#: codec name -> (codes-per-word, words_for, pack, unpack_jit, unpack_np,
+#: max valid code).  ``b21`` needs the classic alphabet; ``b32`` covers
+#: full-blosum (pad 25) too.
+CODECS = {
+    "b32": (CPW, words_for, pack5, unpack5, unpack5_np, 31),
+    "b21": (CPW21, words_for21, pack21, unpack21, unpack21_np, BASE21 - 1),
+}
+
+
+def choose_codec(mode: str, pad: int) -> str | None:
+    """Map CUDASW4_TPU_STREAM_PACK to a codec: "0" off, "1" b32 (the
+    TPU-validated default), "2" b21 where the alphabet allows (classic
+    pad 20), falling back to b32 (full-blosum pad 25)."""
+    if mode == "0":
+        return None
+    if mode == "2" and pad < BASE21:
+        return "b21"
+    return "b32"

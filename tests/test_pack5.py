@@ -32,6 +32,33 @@ def test_pack5_roundtrip(rng):
         np.testing.assert_array_equal(back_dev, tiles)
 
 
+def test_pack21_roundtrip(rng):
+    for shape in [(3, 16, 4, 8), (2, 7, 5), (1, 6), (4, 1)]:
+        tiles = rng.integers(0, 21, size=shape).astype(np.int8)
+        packed = pack5.pack21(tiles)
+        E = int(np.prod(shape[1:]))
+        assert packed.shape == (shape[0], pack5.words_for21(E))
+        assert packed.dtype == np.int32
+        assert (packed >= 0).all()  # 21^7 < 2^31
+        back = pack5.unpack21_np(packed, shape[1:])
+        np.testing.assert_array_equal(back, tiles)
+        back_dev = np.asarray(pack5.unpack21(packed, tuple(shape[1:])))
+        np.testing.assert_array_equal(back_dev, tiles)
+
+
+def test_pack21_rejects_out_of_range(rng):
+    tiles = np.full((2, 8), 21, np.int8)  # 21 is not a classic code
+    with pytest.raises(AssertionError):
+        pack5.pack21(tiles)
+
+
+def test_choose_codec():
+    assert pack5.choose_codec("0", 20) is None
+    assert pack5.choose_codec("1", 20) == "b32"
+    assert pack5.choose_codec("2", 20) == "b21"
+    assert pack5.choose_codec("2", 25) == "b32"  # full-blosum alphabet
+
+
 def test_pack5_out_and_slab(rng):
     tiles = rng.integers(0, 21, size=(130, 10, 3)).astype(np.int8)
     out = np.zeros((130, pack5.words_for(30)), np.int32)
@@ -75,6 +102,22 @@ def test_streaming_packed_matches_raw(db, rng, monkeypatch):
     resident = SearchEngine(num_top=10, qcap=64)
     resident.set_database(db)
     assert _results(resident, qs) == want
+
+
+def test_streaming_b21_matches_raw(db, rng, monkeypatch):
+    """CUDASW4_TPU_STREAM_PACK=2 (base-21 codec) must score identically
+    to unpacked streaming."""
+    qs = [rng.integers(0, 20, int(n)).astype(np.int8) for n in (12, 55)]
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "0")
+    raw = SearchEngine(num_top=10, qcap=64, max_device_bytes=1)
+    raw.set_database(db)
+    want = _results(raw, qs)
+
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "2")
+    eng = SearchEngine(num_top=10, qcap=64, max_device_bytes=1)
+    eng.set_database(db)
+    assert eng._stream_codec == "b21"
+    assert _results(eng, qs) == want
 
 
 def test_streaming_prefetch_off_matches_on(db, rng, monkeypatch):

@@ -90,7 +90,7 @@ print(f"DB {db_chars/1e9:.2f}G residues, {len(qlens)} queries, "
 from cudasw4_tpu.engine import SearchEngine  # noqa: E402
 
 results = {}
-for pack in ("0", "1"):
+for pack in ("0", "1", "2"):  # off / b32 (5-bit) / b21 (base-21)
     for pf in ("0", "1"):
         os.environ["CUDASW4_TPU_STREAM_PACK"] = pack
         os.environ["CUDASW4_TPU_STREAM_PREFETCH"] = pf
