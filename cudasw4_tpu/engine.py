@@ -1116,7 +1116,8 @@ class SearchEngine:
         from .ops import pack5 as p5
 
         codec = self._stream_codec
-        _cpw, words_for, pack, _uj, _un, _maxc = p5.CODECS[codec]
+        _cpw, words_for, pack, _uj, _un, maxc = p5.CODECS[codec]
+        assert int(self._pad) <= maxc, (codec, self._pad)
         buckets = self.packed.buckets
         expect = {
             "version": 2,
@@ -1145,6 +1146,15 @@ class SearchEngine:
                     fresh = json.load(f) == expect
             except (OSError, ValueError):
                 fresh = False
+            if not fresh:
+                # Invalidate BEFORE overwriting bucket files: an
+                # interrupted re-pack (e.g. codec switch killed mid-way)
+                # must not leave a manifest that validates mixed-layout
+                # data on the next run.
+                try:
+                    os.remove(man_path)
+                except OSError:
+                    pass
         entries = []
         for bi, b in enumerate(buckets):
             tile_shape = b.tiles.shape[1:]
@@ -1162,6 +1172,8 @@ class SearchEngine:
                 # The sidecar is best-effort, like the main tile cache: a
                 # read-only DB directory or a truncated file falls back
                 # to anonymous temp files instead of failing the scan.
+                # (np.memmap raises ValueError, not OSError, when the
+                # file is smaller than the requested shape.)
                 try:
                     path = os.path.join(sidecar, f"b{bi}.bin")
                     if fresh:
@@ -1172,7 +1184,7 @@ class SearchEngine:
                         continue
                     os.makedirs(sidecar, exist_ok=True)
                     mm = np.memmap(path, np.int32, mode="w+", shape=(T, W))
-                except OSError:
+                except (OSError, ValueError):
                     sidecar = None
                     mm = None
             if mm is None:

@@ -8,10 +8,11 @@ Two codecs:
 - ``b32`` (5-bit fields): 6 codes/word = 5.33 bits/char, valid for any
   code 0..31 (covers the full-blosum alphabet, pad 25); unpacks with
   shifts.
-- ``b21`` (base-21 positional): 7 codes/word = 4.43 bits/char (21^7 <
-  2^31), valid for the classic alphabet only (codes 0..20); unpacks
-  with constant-divisor divmods.  ~17% fewer streamed bytes than b32,
-  3% above the uniform-alphabet entropy floor (log2 21 = 4.39).
+- ``b21`` (base-21 positional): 7 codes/word = 4.57 bits/char on the
+  wire (21^7 < 2^31), valid for the classic alphabet only (codes
+  0..20); unpacks with constant-divisor divmods.  14.3% fewer streamed
+  bytes than b32, 4.1% above the uniform-alphabet entropy floor
+  (log2 21 = 4.39).
 
 The device unpack runs in a tiny jitted prologue (HBM-bandwidth trivial
 next to the transfer), so the DP kernels see ordinary int8 tiles and
@@ -45,42 +46,48 @@ def words_for(elems: int) -> int:
     return -(-elems // CPW)
 
 
-def pack5(tiles: np.ndarray, out: np.ndarray | None = None,
-          slab: int = 64) -> np.ndarray:
-    """Pack int8 code tiles [T, ...] -> int32 [T, W] (W = words_for(E)).
-
-    Processes ``slab`` tiles at a time so peak temp memory stays at a few
-    slabs of int32, not 4x the whole bucket.  ``out`` may be any
-    [T, W]-shaped int32 array (e.g. a memmap) to fill in place.
-    """
+def _pack_slabs(tiles, out, cpw, max_code, combine, slab):
+    """Shared slab driver for both codecs: validate, zero-pad to a word
+    boundary, group into [rows, W, cpw] and let ``combine`` collapse the
+    code axis into int32 words.  Processes ``slab`` tiles at a time so
+    peak temp memory stays at a few slabs of int32, not 4x the whole
+    bucket.  ``out`` may be any [T, W]-shaped int32 array (e.g. a
+    memmap) to fill in place.  Every slab is range-checked: out-of-range
+    codes would corrupt words silently (b32: field bleed; b21: int32
+    overflow breaking the non-negative-word invariant)."""
     T = tiles.shape[0]
     E = int(np.prod(tiles.shape[1:]))
-    W = words_for(E)
+    W = -(-E // cpw)
     if out is None:
         out = np.empty((T, W), np.int32)
-    if T:
-        # Codes >= 32 would corrupt silently; our packers only emit
-        # 0..25 (classic pad 20 / full-blosum pad 25).  Sample-check the
-        # first slab rather than paying a full extra pass.
-        first = np.asarray(tiles[: min(slab, T)])
-        assert (
-            first.dtype == np.int8
-            and int(first.max(initial=0)) < 32
-            and int(first.min(initial=0)) >= 0
-        ), "pack5 requires non-negative 5-bit codes"
     for t0 in range(0, T, slab):
         t1 = min(t0 + slab, T)
         flat = np.asarray(tiles[t0:t1]).reshape(t1 - t0, E)
-        if E != W * CPW:
+        assert (
+            flat.dtype == np.int8
+            and int(flat.min(initial=0)) >= 0
+            and int(flat.max(initial=0)) <= max_code
+        ), f"transfer pack requires codes 0..{max_code}"
+        if E != W * cpw:
             flat = np.concatenate(
-                [flat, np.zeros((t1 - t0, W * CPW - E), np.int8)], axis=1
+                [flat, np.zeros((t1 - t0, W * cpw - E), np.int8)], axis=1
             )
-        grp = flat.reshape(t1 - t0, W, CPW).astype(np.int32)
+        grp = flat.reshape(t1 - t0, W, cpw).astype(np.int32)
+        out[t0:t1] = combine(grp)
+    return out
+
+
+def pack5(tiles: np.ndarray, out: np.ndarray | None = None,
+          slab: int = 64) -> np.ndarray:
+    """b32 pack: int8 code tiles [T, ...] -> int32 [T, words_for(E)]."""
+
+    def combine(grp):
         acc = grp[:, :, 0].copy()
         for k in range(1, CPW):
             acc |= grp[:, :, k] << (5 * k)
-        out[t0:t1] = acc
-    return out
+        return acc
+
+    return _pack_slabs(tiles, out, CPW, 31, combine, slab)
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -127,32 +134,15 @@ def pack21(tiles: np.ndarray, out: np.ndarray | None = None,
 
     Codes must be 0..20 (classic alphabet incl. pad 20).  Word value =
     sum_k code_k * 21^k (code 0 of each word in the low digits)."""
-    T = tiles.shape[0]
-    E = int(np.prod(tiles.shape[1:]))
-    W = words_for21(E)
-    if out is None:
-        out = np.empty((T, W), np.int32)
-    if T:
-        first = np.asarray(tiles[: min(slab, T)])
-        assert (
-            first.dtype == np.int8
-            and int(first.max(initial=0)) < BASE21
-            and int(first.min(initial=0)) >= 0
-        ), "pack21 requires codes 0..20"
-    for t0 in range(0, T, slab):
-        t1 = min(t0 + slab, T)
-        flat = np.asarray(tiles[t0:t1]).reshape(t1 - t0, E)
-        if E != W * CPW21:
-            flat = np.concatenate(
-                [flat, np.zeros((t1 - t0, W * CPW21 - E), np.int8)], axis=1
-            )
-        grp = flat.reshape(t1 - t0, W, CPW21).astype(np.int32)
+
+    def combine(grp):
         acc = grp[:, :, CPW21 - 1].copy()
         for k in range(CPW21 - 2, -1, -1):
             acc *= BASE21
             acc += grp[:, :, k]
-        out[t0:t1] = acc
-    return out
+        return acc
+
+    return _pack_slabs(tiles, out, CPW21, BASE21 - 1, combine, slab)
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -203,11 +193,13 @@ CODECS = {
 
 
 def choose_codec(mode: str, pad: int) -> str | None:
-    """Map CUDASW4_TPU_STREAM_PACK to a codec: "0" off, "1" b32 (the
+    """Map CUDASW4_TPU_STREAM_PACK to a codec: "1" b32 (the
     TPU-validated default), "2" b21 where the alphabet allows (classic
-    pad 20), falling back to b32 (full-blosum pad 25)."""
-    if mode == "0":
-        return None
-    if mode == "2" and pad < BASE21:
-        return "b21"
-    return "b32"
+    pad 20; full-blosum pad 25 falls back to b32).  Anything else —
+    "0", empty, garbage — disables packing (fail closed: an
+    unrecognized value must not silently enable a transfer codec)."""
+    if mode == "1":
+        return "b32"
+    if mode == "2":
+        return "b21" if pad < BASE21 else "b32"
+    return None

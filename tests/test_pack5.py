@@ -57,6 +57,21 @@ def test_choose_codec():
     assert pack5.choose_codec("1", 20) == "b32"
     assert pack5.choose_codec("2", 20) == "b21"
     assert pack5.choose_codec("2", 25) == "b32"  # full-blosum alphabet
+    # Unrecognized values fail closed (no silent codec enablement).
+    assert pack5.choose_codec("", 20) is None
+    assert pack5.choose_codec("off", 20) is None
+
+
+def test_pack_range_checked_beyond_first_slab(rng):
+    """Out-of-range codes in ANY slab must be rejected (silent word
+    corruption otherwise: b32 field bleed, b21 int32 overflow)."""
+    tiles = rng.integers(0, 21, size=(130, 8)).astype(np.int8)
+    tiles[129, 3] = 25  # beyond the first slab of 64
+    with pytest.raises(AssertionError):
+        pack5.pack21(tiles, slab=64)
+    tiles[129, 3] = -1
+    with pytest.raises(AssertionError):
+        pack5.pack5(tiles, slab=64)
 
 
 def test_pack5_out_and_slab(rng):
