@@ -831,6 +831,8 @@ class SearchEngine:
         from .ops import INTERPRET
         from .parallel import sharding as sh
 
+        if not group:
+            return []
         t0 = time.perf_counter()
         # Slot count picks the compiled batch-kernel shape: the QB_MAX
         # shape for resident-sized groups (shared compile cache), the

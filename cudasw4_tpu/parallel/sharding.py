@@ -202,12 +202,7 @@ def build_sharded_batch_scan(
         rows = jnp.stack([
             jnp.concatenate(p) if len(p) > 1 else p[0] for p in per_qb
         ])
-        rows = jnp.where((ids >= 0)[None, :], rows, -1.0)
-        kl = max(1, min(k, rows.shape[1]))
-        v, i = jax.lax.top_k(rows, kl)  # [QB, kl]
-        ids_sel = jnp.take(ids, i)
-        vg = jax.lax.all_gather(v, axis, axis=1).reshape(QB, -1)
-        ig = jax.lax.all_gather(ids_sel, axis, axis=1).reshape(QB, -1)
+        vg, ig = _shard_candidates(rows, ids, k, axis)
         kf = max(1, min(k, vg.shape[1]))
         # Ties -> lowest id (see _merge_topk): per-row lexsort over the
         # tiny gathered candidate lists.
@@ -312,6 +307,24 @@ def build_sharded_scan_chunked(
 # onto a mesh.
 
 
+def _shard_candidates(rows, ids, k: int, axis: str):
+    """Per-shard candidate reduction shared by the resident batch scan
+    and the streamed-chunk merge: mask invalid slots (id < 0) to -1.0
+    (SW scores are non-negative), per-row top-k (>= 1 so the kernels are
+    never dead-code-eliminated at k=0), map to global ids, all_gather
+    along the candidate axis.  rows [n, local], ids [local] ->
+    (scores [n, ndev*kl], ids [n, ndev*kl]) replicated."""
+    rows = jnp.where((ids >= 0)[None, :], rows, -1.0)
+    kl = max(1, min(k, rows.shape[1]))
+    v, i = jax.lax.top_k(rows, kl)
+    ids_sel = jnp.take(ids, i)
+    vg = jax.lax.all_gather(v, axis, axis=1).reshape(rows.shape[0], -1)
+    ig = jax.lax.all_gather(ids_sel, axis, axis=1).reshape(
+        rows.shape[0], -1
+    )
+    return vg, ig
+
+
 def build_sharded_chunk_candidates(mesh: Mesh, n: int, k: int):
     """jitted (rows_tuple of n tile-sharded score arrays, sidx sharded
     the same way) -> (scores [n, ndev*kl], ids [n, ndev*kl]) replicated.
@@ -333,13 +346,7 @@ def build_sharded_chunk_candidates(mesh: Mesh, n: int, k: int):
     def body(rows_tuple, sidx):
         ids = sidx.reshape(-1)
         rows = jnp.stack([r.reshape(-1) for r in rows_tuple])
-        rows = jnp.where((ids >= 0)[None, :], rows, -1.0)
-        kl = max(1, min(k, rows.shape[1]))
-        v, i = jax.lax.top_k(rows, kl)
-        ids_sel = jnp.take(ids, i)
-        vg = jax.lax.all_gather(v, axis, axis=1).reshape(n, -1)
-        ig = jax.lax.all_gather(ids_sel, axis, axis=1).reshape(n, -1)
-        return vg, ig
+        return _shard_candidates(rows, ids, k, axis)
 
     mapped = jax.shard_map(
         body,

@@ -93,6 +93,38 @@ def _assert_same_hits(got, want):
         assert r in ws[s]
 
 
+def test_sharded_streaming_tie_break_exact(tmp_path):
+    """Boundary-tie pin for the per-chunk candidate merge: a DB of
+    identical sequences makes every score equal, so the mesh streaming
+    path must return ids 0..k-1 in order — exactly what the
+    single-device streaming path returns (the engine-wide score-desc,
+    id-asc rule).  Tolerant hit-set comparison would not catch a
+    per-shard kl-cut tie bug; this does."""
+    rng = np.random.default_rng(5)
+    seq = "".join(AAS[c] for c in rng.integers(0, 20, 40))
+    recs = [(f"s{i}", seq) for i in range(60)]
+    fa = str(tmp_path / "tie.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "tie"))
+    tdb = load_db(str(tmp_path / "tie"))
+    q = np.asarray(
+        [AAS.index(c) for c in seq[4:30]], np.int8
+    )
+    single = SearchEngine(num_top=7, qcap=64, max_device_bytes=1,
+                          stream_chunk_bytes=1 << 12)
+    single.set_database(tdb)
+    want = single.scan(q)
+    assert want.reference_ids == list(range(7))  # ties -> lowest ids
+
+    mesh_eng = SearchEngine(num_top=7, qcap=64, mesh=make_mesh(),
+                            max_device_bytes=1,
+                            stream_chunk_bytes=1 << 12)
+    mesh_eng.set_database(tdb)
+    got = mesh_eng.scan(q)
+    assert got.scores == want.scores
+    assert got.reference_ids == want.reference_ids
+
+
 def test_sharded_streaming_matches_resident(db, queries, oracle):
     """Mesh + DB beyond per-chip budget: chunks stream tile-sharded."""
     eng = SearchEngine(
