@@ -201,6 +201,7 @@ class SearchEngine:
                 self._stream_pack = self._build_stream_pack(pack_cache)
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")
+            self._load_resident_prefix(ndev)
         elif ndev > 1:
             self._scan_fn = self._build_sharded_scan_fn()
         else:
@@ -803,7 +804,8 @@ class SearchEngine:
     def _mesh_ndev(self) -> int:
         return len(self.mesh.devices.flat) if self.mesh is not None else 1
 
-    def _db_exceeds_device_memory(self, ndev: int = 1) -> bool:
+    def _device_budget(self) -> int:
+        """Per-chip device-memory budget in bytes."""
         budget = self.max_device_bytes
         if budget is None:
             try:
@@ -811,7 +813,74 @@ class SearchEngine:
                 budget = int(stats.get("bytes_limit", 12 << 30) * 0.7)
             except Exception:
                 budget = 8 << 30
-        return self.packed.total_padded_chars > budget * ndev
+        return budget
+
+    def _db_exceeds_device_memory(self, ndev: int = 1) -> bool:
+        return self.packed.total_padded_chars > self._device_budget() * ndev
+
+    def _chunk_tiles(self, b, ndev: int) -> int:
+        """Tiles per streamed chunk for one bucket (fixed shape; multiple
+        of the mesh size so chunks shard evenly)."""
+        bytes_per_tile = b.L * b.NS
+        ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
+        ct = max(ndev, ct // ndev * ndev)
+        return min(ct, _round_up(b.num_tiles, ndev))
+
+    def _load_resident_prefix(self, ndev: int) -> None:
+        """Pin as much of the packed DB in device memory as the budget
+        allows; only the remainder streams per batch.  The reference does
+        exactly this: batches are assigned to cached GPU memory until it
+        is full and only the overflow cycles through the copy buffers
+        (cudasw4.cuh:1087-1144 assignBatchesToGpuMem, :1560-1621 buffer
+        selection).  All-or-nothing residency wastes the entire HBM when
+        the DB is 1.2x the budget; with a prefix pinned, the streamed
+        fraction (and its transfer time) shrinks proportionally.
+
+        Chunks are whole streamed-chunk-shaped slices (same compiled
+        shapes as the streamed path), stored unpacked int8 (no per-batch
+        unpack), tile-sharded on a mesh.  Headroom of 4 stream chunks is
+        reserved for in-flight transfers, queries and scores.  Disable
+        with CUDASW4_TPU_STREAM_RESIDENT=0."""
+        self._resident_chunks: list[tuple] = []
+        self._res_tiles: dict[int, int] = {}
+        if os.environ.get("CUDASW4_TPU_STREAM_RESIDENT", "1") != "1":
+            return
+        headroom = 4 * self.stream_chunk_bytes
+        budget = self._device_budget() * ndev - headroom
+        if budget <= 0:
+            return
+        used = 0
+        for bi, b in enumerate(self.packed.buckets):
+            T = b.num_tiles
+            if T == 0:
+                continue
+            ct = self._chunk_tiles(b, ndev)
+            chunk_bytes = ct * b.L * b.NS
+            taken = 0
+            for t0 in range(0, T, ct):
+                t1 = min(t0 + ct, T)
+                if t1 - t0 < ct or used + chunk_bytes > budget:
+                    # Partial tail chunks stream (they need pad filler);
+                    # so does everything past the budget.
+                    break
+                chunk = np.ascontiguousarray(b.tiles[t0:t1])
+                if ndev > 1:
+                    xdev = jax.device_put(chunk, self._chunk_sharding)
+                else:
+                    xdev = jax.device_put(chunk)
+                self._resident_chunks.append(
+                    (bi, xdev, np.asarray(b.seq_index[t0:t1]))
+                )
+                used += chunk_bytes
+                taken = t1
+            if taken:
+                self._res_tiles[bi] = taken
+        if self.verbose and used:
+            total = float(self.packed.total_padded_chars)
+            print(
+                f"Resident prefix: {used/2**30:.2f} GiB pinned on device "
+                f"({100.0*used/total:.0f}% of the DB); remainder streams"
+            )
 
     def _scan_streaming_batch(self, group):
         """Stream the database ONCE for a batch of queries (any length).
@@ -982,7 +1051,7 @@ class SearchEngine:
             )
             return fn(xdev, qdev, pq, self._matrix_flat, self._matrix_f32)
 
-        for b, chunk, sidx in self._stream_chunks_prefetched():
+        for b, chunk, sidx in self._scan_chunks():
             xdev = self._put_chunk(chunk, b.tiles.shape[1:])
             rows: list = [None] * n
             if shorts:
@@ -1222,6 +1291,8 @@ class SearchEngine:
         axis, so it runs per shard."""
         from .ops.pack5 import CODECS
 
+        if isinstance(chunk, jax.Array):
+            return chunk  # resident prefix chunk: already on device
         packed = chunk.dtype == np.int32
         unpack = CODECS[self._stream_codec][3] if packed else None
         if self._mesh_ndev() > 1:
@@ -1244,17 +1315,17 @@ class SearchEngine:
         representation ([ct, W]); ``_put_chunk`` unpacks on device."""
         ndev = self._mesh_ndev()
         spack = getattr(self, "_stream_pack", None)
+        res = getattr(self, "_res_tiles", {})
         for bi, b in enumerate(self.packed.buckets):
-            bytes_per_tile = b.L * b.NS
-            ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
-            ct = max(ndev, ct // ndev * ndev)
+            ct = self._chunk_tiles(b, ndev)
             T = b.num_tiles
-            ct = min(ct, _round_up(T, ndev))
             if spack is not None:
                 src, pad_row = spack[bi]
             else:
                 src, pad_row = b.tiles, None
-            for t0 in range(0, T, ct):
+            # The resident prefix (whole ct-sized chunks pinned on
+            # device at set_database) never re-streams.
+            for t0 in range(res.get(bi, 0), T, ct):
                 t1 = min(t0 + ct, T)
                 chunk = src[t0:t1]
                 sidx = b.seq_index[t0:t1]
@@ -1273,6 +1344,14 @@ class SearchEngine:
                         [sidx, np.full((pad, b.NS), -1, np.int32)]
                     )
                 yield b, chunk, sidx
+
+    def _scan_chunks(self):
+        """All chunks of one scan pass: the device-resident prefix first
+        (no host work at all), then the streamed remainder through the
+        prefetch thread."""
+        for bi, xdev, sidx in getattr(self, "_resident_chunks", []):
+            yield self.packed.buckets[bi], xdev, sidx
+        yield from self._stream_chunks_prefetched()
 
     def _stream_chunks_prefetched(self, depth: int = 2):
         """`_stream_chunks` with the host-side chunk assembly (memmap/disk

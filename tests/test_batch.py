@@ -146,6 +146,47 @@ def test_engine_scan_batch_streaming_mixed_lengths(rng):
         assert res.scores == single.scores
 
 
+def test_engine_streaming_partial_residency(rng):
+    """A budget that fits part of the DB pins a resident prefix (the
+    reference's cached-region model, cudasw4.cuh:1087-1144): streamed
+    tiles shrink, results stay identical to the fully-resident engine."""
+    db = _make_db(rng, n=400)
+    full = SearchEngine(num_top=5)
+    full.set_database(db)
+
+    chunk = 2048
+    eng = SearchEngine(num_top=5, max_device_bytes=6 * chunk,
+                       stream_chunk_bytes=chunk)
+    eng.QB_MAX = 2
+    eng.set_database(db)
+    assert eng.streaming
+    assert eng._resident_chunks, "budget should pin a resident prefix"
+    res_tiles = sum(eng._res_tiles.values())
+    assert res_tiles > 0
+    streamed = sum(1 for _ in eng._stream_chunks())
+    assert streamed > 0, "DB exceeds budget: a remainder must stream"
+
+    none = SearchEngine(num_top=5, max_device_bytes=6 * chunk,
+                        stream_chunk_bytes=chunk)
+    import os as _os
+    _os.environ["CUDASW4_TPU_STREAM_RESIDENT"] = "0"
+    try:
+        none.set_database(db)
+    finally:
+        del _os.environ["CUDASW4_TPU_STREAM_RESIDENT"]
+    assert not none._resident_chunks
+    assert sum(1 for _ in none._stream_chunks()) > streamed
+
+    queries = [rng.integers(0, 20, size=int(q)) for q in (18, 42)]
+    for q in queries:
+        want = full.scan(q)
+        got = eng.scan(q)
+        off = none.scan(q)
+        assert got.scores == want.scores
+        assert got.reference_ids == want.reference_ids
+        assert off.scores == want.scores
+
+
 def test_engine_streaming_qb_stream_one_pass(rng):
     """Streaming mode groups up to QB_STREAM (> QB_MAX) queries so the
     whole reference 20-query ladder ships the DB host->HBM once; results

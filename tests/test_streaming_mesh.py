@@ -125,6 +125,42 @@ def test_sharded_streaming_tie_break_exact(tmp_path):
     assert got.reference_ids == want.reference_ids
 
 
+def test_sharded_streaming_partial_residency():
+    """Partial residency on a mesh: the resident prefix is tile-sharded
+    like streamed chunks; results match a fully-resident engine.  Needs
+    a DB with several tiles per bucket so whole mesh-multiple chunks
+    exist below the budget."""
+    from cudasw4_tpu.db.format import DBData
+
+    rng = np.random.default_rng(99)
+    lengths = np.sort(rng.integers(10, 60, size=1500)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = rng.integers(0, 20, size=int(offsets[-1])).astype(np.int8)
+    tdb = DBData(
+        chars=chars, offsets=offsets, lengths=lengths,
+        headers=np.frombuffer(b"h" * len(lengths), dtype=np.uint8),
+        header_offsets=np.arange(len(lengths) + 1, dtype=np.uint64),
+    )
+    full = SearchEngine(num_top=5, qcap=64, backend="jnp")
+    full.set_database(tdb)
+    q = rng.integers(0, 20, 25).astype(np.int8)
+    want = full.scan(q)
+
+    eng = SearchEngine(
+        num_top=5, qcap=64, backend="jnp",
+        mesh=make_mesh(jax.devices()[:2]),
+        max_device_bytes=15_360, stream_chunk_bytes=1024,
+    )
+    eng.set_database(tdb)
+    assert eng.streaming
+    assert eng._resident_chunks  # budget*ndev - headroom fits a prefix
+    assert sum(1 for _ in eng._stream_chunks()) > 0
+    got = eng.scan(q)
+    assert got.scores == want.scores
+    assert got.reference_ids == want.reference_ids
+
+
 def test_sharded_streaming_matches_resident(db, queries, oracle):
     """Mesh + DB beyond per-chip budget: chunks stream tile-sharded."""
     eng = SearchEngine(
