@@ -134,6 +134,11 @@ class SearchEngine:
         self._batch_scan_fn = None
         self.streaming = False
         self.packed = None
+        # Always drop a previous DB's pinned prefix: a second
+        # set_database that lands on the non-streaming branch must not
+        # keep ~budget bytes of stale device arrays alive.
+        self._resident_chunks = []
+        self._res_tiles = {}
         if pack_cache:
             from .db.packing import load_packed
 
@@ -197,11 +202,13 @@ class SearchEngine:
                 os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"),
                 int(self._pad),
             )
+            # Residency first: the transfer pack can then skip the
+            # pinned prefix (those rows never stream).
+            self._load_resident_prefix(ndev)
             if self._stream_codec:
                 self._stream_pack = self._build_stream_pack(pack_cache)
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")
-            self._load_resident_prefix(ndev)
         elif ndev > 1:
             self._scan_fn = self._build_sharded_scan_fn()
         else:
@@ -838,21 +845,40 @@ class SearchEngine:
 
         Chunks are whole streamed-chunk-shaped slices (same compiled
         shapes as the streamed path), stored unpacked int8 (no per-batch
-        unpack), tile-sharded on a mesh.  Headroom of 4 stream chunks is
-        reserved for in-flight transfers, queries and scores.  Disable
-        with CUDASW4_TPU_STREAM_RESIDENT=0."""
-        self._resident_chunks: list[tuple] = []
-        self._res_tiles: dict[int, int] = {}
+        unpack), tile-sharded on a mesh (seq_index pinned alongside, so
+        resident chunks ship zero bytes per scan).  Headroom: at least 4
+        stream chunks AND 15% of the budget stay free for in-flight
+        transfers, pending score rows and query buffers.  Pinning only
+        engages when the budget is trustworthy — an explicit
+        max_device_bytes or a device that reports bytes_limit — never on
+        the blind 8 GiB fallbacks (pinning gigabytes on a host whose
+        memory we cannot see would break the bounded-RAM streaming
+        contract).  A device OOM during pinning stops the prefix there
+        and streams the rest.  Disable with
+        CUDASW4_TPU_STREAM_RESIDENT=0."""
+        self._resident_chunks = []
+        self._res_tiles = {}
         if os.environ.get("CUDASW4_TPU_STREAM_RESIDENT", "1") != "1":
             return
-        headroom = 4 * self.stream_chunk_bytes
-        budget = self._device_budget() * ndev - headroom
+        if self.max_device_bytes is None:
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+            except Exception:
+                stats = {}
+            if "bytes_limit" not in stats:
+                return  # unknown real memory: do not pin blind
+        total_budget = self._device_budget() * ndev
+        budget = min(
+            total_budget - 4 * self.stream_chunk_bytes,
+            int(0.85 * total_budget),
+        )
         if budget <= 0:
             return
         used = 0
+        oom = False
         for bi, b in enumerate(self.packed.buckets):
             T = b.num_tiles
-            if T == 0:
+            if T == 0 or oom:
                 continue
             ct = self._chunk_tiles(b, ndev)
             chunk_bytes = ct * b.L * b.NS
@@ -864,13 +890,19 @@ class SearchEngine:
                     # so does everything past the budget.
                     break
                 chunk = np.ascontiguousarray(b.tiles[t0:t1])
-                if ndev > 1:
-                    xdev = jax.device_put(chunk, self._chunk_sharding)
-                else:
-                    xdev = jax.device_put(chunk)
-                self._resident_chunks.append(
-                    (bi, xdev, np.asarray(b.seq_index[t0:t1]))
-                )
+                sidx = np.asarray(b.seq_index[t0:t1])
+                try:
+                    if ndev > 1:
+                        xdev = jax.device_put(chunk, self._chunk_sharding)
+                        sdev = jax.device_put(sidx, self._chunk_sharding)
+                    else:
+                        xdev = jax.device_put(chunk)
+                        sdev = sidx
+                    jax.block_until_ready(xdev)
+                except RuntimeError:  # XlaRuntimeError (OOM) included
+                    oom = True  # keep what fit; stream from here on
+                    break
+                self._resident_chunks.append((bi, xdev, sdev))
                 used += chunk_bytes
                 taken = t1
             if taken:
@@ -880,6 +912,8 @@ class SearchEngine:
             print(
                 f"Resident prefix: {used/2**30:.2f} GiB pinned on device "
                 f"({100.0*used/total:.0f}% of the DB); remainder streams"
+                + (" [stopped early: device allocation failed]" if oom
+                   else "")
             )
 
     def _scan_streaming_batch(self, group):
@@ -1106,7 +1140,10 @@ class SearchEngine:
                         self.mesh, n, k
                     ),
                 )
-                sdev = jax.device_put(sidx, self._chunk_sharding)
+                sdev = (
+                    sidx if isinstance(sidx, jax.Array)
+                    else jax.device_put(sidx, self._chunk_sharding)
+                )
                 vg, ig = fn(tuple(rows), sdev)
                 pending.append(("cand", vg, ig))
             else:
@@ -1239,6 +1276,7 @@ class SearchEngine:
                 entries.append((np.empty((0, W), np.int32), pad_row))
                 continue
             mm = None
+            persistent = False
             if sidecar:
                 # The sidecar is best-effort, like the main tile cache: a
                 # read-only DB directory or a truncated file falls back
@@ -1255,16 +1293,24 @@ class SearchEngine:
                         continue
                     os.makedirs(sidecar, exist_ok=True)
                     mm = np.memmap(path, np.int32, mode="w+", shape=(T, W))
+                    persistent = True
                 except (OSError, ValueError):
                     sidecar = None
                     mm = None
+                    persistent = False
             if mm is None:
                 f = tempfile.TemporaryFile(
                     prefix=f"cudasw4_pack5_b{bi}_"
                 )
                 f.truncate(T * W * 4)
                 mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
-            pack(b.tiles, out=mm)
+            # Anonymous temp packs skip the pinned resident prefix (those
+            # rows never stream; the untouched pages are never even
+            # materialized).  A reusable sidecar packs everything — it
+            # outlives this engine and must stay budget-independent.
+            start = 0 if persistent else self._res_tiles.get(bi, 0)
+            if start < T:
+                pack(b.tiles[start:], out=mm[start:])
             entries.append((mm, pad_row))
         if sidecar and not fresh:
             try:

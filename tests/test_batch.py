@@ -186,6 +186,12 @@ def test_engine_streaming_partial_residency(rng):
         assert got.reference_ids == want.reference_ids
         assert off.scores == want.scores
 
+    # Re-pointing the engine at a resident-size DB must drop the pinned
+    # prefix (stale device arrays would leak ~budget bytes).
+    eng.max_device_bytes = None
+    eng.set_database(_make_db(rng, n=50))
+    assert not eng._resident_chunks and not eng._res_tiles
+
 
 def test_engine_streaming_qb_stream_one_pass(rng):
     """Streaming mode groups up to QB_STREAM (> QB_MAX) queries so the

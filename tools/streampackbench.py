@@ -15,6 +15,9 @@ mixed:  5M-seq sprot-like DB, 14-query set incl. four 1.5k-3k aa
 ladder: 2M x 256 pseudo DB, the reference 20-query ladder (144..5478) —
         A/Bs CUDASW4_TPU_QB_STREAM 16 vs 20 (one stream vs 16+4) with
         pack+prefetch on.
+partial: 5M-seq sprot-like DB (~2.25 GiB packed) with a 1.5 GiB budget —
+        A/Bs CUDASW4_TPU_STREAM_RESIDENT 0 vs 1 (all-streamed vs ~60%
+        pinned resident) with pack+prefetch on.
 """
 import os
 import sys
@@ -61,6 +64,43 @@ if MODE == "ladder":
             best = max(best, g)
             print(f"  QB_STREAM={qb}: {dt:.2f}s = {g:.1f} GCUPS", flush=True)
         print(f"QB_STREAM={qb} BEST {best:.1f} GCUPS", flush=True)
+        del eng
+    sys.exit(0)
+
+if MODE == "partial":
+    from cudasw4_tpu.engine import SearchEngine
+    from dbbench import make_sprotlike_db
+
+    db = make_sprotlike_db(5_000_000)
+    db_chars = float(np.asarray(db.lengths, np.int64).sum())
+    qlens = [144, 256, 370, 492, 657, 780, 1024, 1500]
+    queries = [rng.integers(0, 20, q).astype(np.int8) for q in qlens]
+    cells = sum(qlens) * db_chars
+    os.environ["CUDASW4_TPU_STREAM_PACK"] = "1"
+    os.environ["CUDASW4_TPU_STREAM_PREFETCH"] = "1"
+    for flag in ("0", "1"):
+        os.environ["CUDASW4_TPU_STREAM_RESIDENT"] = flag
+        # 1.5 GiB budget, 64 MiB chunks (headroom 256 MiB) -> ~55% of
+        # the ~2.25 GiB packed DB pins resident when flag=1.
+        eng = SearchEngine(num_top=10, max_device_bytes=3 << 29,
+                           stream_chunk_bytes=64 << 20)
+        t0 = time.time()
+        eng.set_database(db)
+        assert eng.streaming
+        nres = len(getattr(eng, "_resident_chunks", []))
+        print(f"resident={flag} set_db {time.time()-t0:.1f}s "
+              f"({nres} chunks pinned)", flush=True)
+        eng.scan_batch([q[:64] for q in queries[:2]])  # warm
+        best = 0.0
+        for _ in range(REPS):
+            t0 = time.time()
+            eng.scan_batch(queries)
+            dt = time.time() - t0
+            g = cells / dt / 1e9
+            best = max(best, g)
+            print(f"  resident={flag}: {dt:.2f}s = {g:.1f} GCUPS",
+                  flush=True)
+        print(f"resident={flag} BEST {best:.1f} GCUPS", flush=True)
         del eng
     sys.exit(0)
 
