@@ -106,7 +106,12 @@ class SearchEngine:
         if qbs:
             # May be lowered below QB_MAX (memory-tight hosts shrink the
             # (QB, qcap) query block); scan_batch caps against _qb_cap.
-            self.QB_STREAM = max(1, int(qbs))
+            # Garbage values are ignored (fail closed, like the codec
+            # env knob) rather than crashing engine construction.
+            try:
+                self.QB_STREAM = max(1, int(qbs))
+            except ValueError:
+                pass
         self.verbose = verbose
         platform = jax.devices()[0].platform
         if backend == "auto":
@@ -134,11 +139,14 @@ class SearchEngine:
         self._batch_scan_fn = None
         self.streaming = False
         self.packed = None
-        # Always drop a previous DB's pinned prefix: a second
-        # set_database that lands on the non-streaming branch must not
-        # keep ~budget bytes of stale device arrays alive.
+        # Always drop a previous DB's pinned prefix and packed transfer
+        # store: a second set_database that lands on the non-streaming
+        # branch must not keep ~budget bytes of stale device arrays (or
+        # gigabytes of packed temp memmaps) alive.
         self._resident_chunks = []
         self._res_tiles = {}
+        self._stream_pack = None
+        self._stream_codec = None
         if pack_cache:
             from .db.packing import load_packed
 
@@ -860,6 +868,13 @@ class SearchEngine:
         self._res_tiles = {}
         if os.environ.get("CUDASW4_TPU_STREAM_RESIDENT", "1") != "1":
             return
+        multiprocess = jax.process_count() > 1
+        if multiprocess and self.max_device_bytes is None:
+            # The pin plan must be identical on every process (the scan
+            # runs collectives per chunk); only an explicit budget is
+            # guaranteed process-uniform.  Per-process memory_stats is
+            # not — skip pinning rather than risk divergent plans.
+            return
         if self.max_device_bytes is None:
             try:
                 stats = jax.devices()[0].memory_stats() or {}
@@ -900,6 +915,11 @@ class SearchEngine:
                         sdev = sidx
                     jax.block_until_ready(xdev)
                 except RuntimeError:  # XlaRuntimeError (OOM) included
+                    if multiprocess:
+                        # A silently shrunk pin plan would desync the
+                        # per-chunk collectives across processes (hang or
+                        # corrupt merge) — fail loud instead.
+                        raise
                     oom = True  # keep what fit; stream from here on
                     break
                 self._resident_chunks.append((bi, xdev, sdev))
@@ -1069,7 +1089,15 @@ class SearchEngine:
             if nq <= self.qcap:
                 qdev = qfull_dev[i]
             else:
-                gran = sw_pallas_cell.QCAP if kind == "cell" else 256
+                # QCAP granularity only buys compile-cache sharing on the
+                # Pallas cell kernel (whose DP loop stops at nq); the
+                # portable scorer walks every padded row, so jnp pads
+                # tight (the scan()/long-query fix, same rationale).
+                gran = (
+                    sw_pallas_cell.QCAP
+                    if use_pallas and kind == "cell"
+                    else 256
+                )
                 qdev = wide_q(i, gran)
             pq = jnp.asarray(np.array([nq, gop, gex, nq_pad], np.int32))
             if ndev == 1:
@@ -1151,9 +1179,12 @@ class SearchEngine:
             drain(2)
         drain(0)
 
-        ids = (
-            np.concatenate(id_parts) if id_parts else np.zeros(0, np.int32)
-        )
+        ids = None
+        if ndev == 1:  # mesh scans merge via cand_scores/cand_ids only
+            ids = (
+                np.concatenate(id_parts) if id_parts
+                else np.zeros(0, np.int32)
+            )
         seconds = time.perf_counter() - t0
         db_chars = float(self.packed.total_real_chars)
         total_cells = sum(len(c) for c in group) * db_chars
@@ -1393,11 +1424,18 @@ class SearchEngine:
 
     def _scan_chunks(self):
         """All chunks of one scan pass: the device-resident prefix first
-        (no host work at all), then the streamed remainder through the
-        prefetch thread."""
-        for bi, xdev, sidx in getattr(self, "_resident_chunks", []):
-            yield self.packed.buckets[bi], xdev, sidx
-        yield from self._stream_chunks_prefetched()
+        (no host work at all), then the streamed remainder.  The
+        prefetch worker starts immediately, so the first streamed
+        chunk's disk page-in overlaps the resident-prefix compute
+        instead of stalling the dispatch thread when the prefix runs
+        out."""
+        stream = self._stream_chunks_prefetched()
+        try:
+            for bi, xdev, sidx in getattr(self, "_resident_chunks", []):
+                yield self.packed.buckets[bi], xdev, sidx
+            yield from stream
+        finally:
+            stream.close()
 
     def _stream_chunks_prefetched(self, depth: int = 2):
         """`_stream_chunks` with the host-side chunk assembly (memmap/disk
@@ -1408,13 +1446,16 @@ class SearchEngine:
         — the analog of the reference's pinned-copy worker thread
         (cudasw4.cuh:1649-1707, cudaLaunchHostFunc copy path).  Pure
         numpy in the worker; all jax dispatch stays on the caller's
-        thread.  Disable with CUDASW4_TPU_STREAM_PREFETCH=0."""
+        thread.  The worker starts at CALL time (not first iteration) so
+        callers can warm it while doing other work; if the returned
+        generator is never iterated, a finalizer stops the thread.
+        Disable with CUDASW4_TPU_STREAM_PREFETCH=0."""
         import queue
         import threading
+        import weakref
 
         if os.environ.get("CUDASW4_TPU_STREAM_PREFETCH", "1") != "1":
-            yield from self._stream_chunks()
-            return
+            return self._stream_chunks()
         q: queue.Queue = queue.Queue(maxsize=depth)
         stop = threading.Event()
         DONE = object()
@@ -1447,16 +1488,24 @@ class SearchEngine:
             target=worker, name="cudasw4-stream-prefetch", daemon=True
         )
         t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is DONE:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
+
+        def consume():
+            try:
+                while True:
+                    item = q.get()
+                    if item is DONE:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
+
+        gen = consume()
+        # A generator that is never started never runs its finally;
+        # stop the worker on GC regardless.
+        weakref.finalize(gen, stop.set)
+        return gen
 
     def _scan_long_query(self, codes) -> ScanResult:
         """Resident-DB scan of a query beyond the engine's default qcap:
