@@ -17,6 +17,19 @@ from cudasw4_tpu.engine import SearchEngine
 
 
 def make_sprotlike_db(n, seed=7):
+    """Synthetic sprot-like DB.  Set DBBENCH_CACHE=<dir> to save/load the
+    generated arrays on disk (mmap) — generating 5M sequences costs ~7
+    CPU-minutes of rng, which would otherwise precede every bench run."""
+    import os
+
+    cache = os.environ.get("DBBENCH_CACHE")
+    path = cache and os.path.join(cache, f"sprotlike_{n}_{seed}.npz")
+    if path and os.path.exists(path):
+        z = np.load(path, mmap_mode="r")
+        return DBData(
+            chars=z["chars"], offsets=z["offsets"], lengths=z["lengths"],
+            headers=z["headers"], header_offsets=z["hoffs"],
+        )
     rng = np.random.default_rng(seed)
     lengths = np.clip(
         rng.lognormal(mean=5.7, sigma=0.55, size=n), 20, 35000
@@ -27,10 +40,15 @@ def make_sprotlike_db(n, seed=7):
     chars = rng.integers(0, 20, size=int(offsets[-1])).astype(np.int8)
     hdr = b"".join(f"s{i}\n".encode() for i in range(n))
     hoffs = np.cumsum([0] + [len(f"s{i}\n") for i in range(n)]).astype(np.uint64)
-    return DBData(
+    db = DBData(
         chars=chars, offsets=offsets, lengths=lengths,
         headers=np.frombuffer(hdr, dtype=np.uint8), header_offsets=hoffs,
     )
+    if path:
+        os.makedirs(cache, exist_ok=True)
+        np.savez(path, chars=chars, offsets=offsets, lengths=lengths,
+                 headers=db.headers, hoffs=hoffs)
+    return db
 
 
 def main():

@@ -29,6 +29,16 @@ import numpy as np  # noqa: E402
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "small"
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+#: Optional pack-cache prefix: pre-building the tile store + pack5
+#: sidecar (e.g. on CPU while the chip is busy) makes the TPU run's
+#: set_database seconds instead of minutes.
+CACHE = os.environ.get("STREAMBENCH_CACHE")
+if CACHE:
+    # Qualify by DB identity so modes don't thrash each other's store
+    # (mixed and partial share the same 5M sprot-like DB).
+    CACHE = CACHE + "_" + (
+        "sprot5m" if MODE in ("mixed", "partial") else MODE
+    )
 
 rng = np.random.default_rng(123)
 if MODE == "ladder":
@@ -52,7 +62,7 @@ if MODE == "ladder":
         eng = SearchEngine(num_top=10, max_device_bytes=1)
         eng.QB_MAX = 16
         eng.QB_STREAM = qb
-        eng.set_database(db)
+        eng.set_database(db, pack_cache=CACHE)
         assert eng.streaming
         list(eng.scan_many([q[:64] for q in queries[:2]]))  # warm
         best = 0.0
@@ -85,7 +95,7 @@ if MODE == "partial":
         eng = SearchEngine(num_top=10, max_device_bytes=3 << 29,
                            stream_chunk_bytes=64 << 20)
         t0 = time.time()
-        eng.set_database(db)
+        eng.set_database(db, pack_cache=CACHE)
         assert eng.streaming
         nres = len(getattr(eng, "_resident_chunks", []))
         print(f"resident={flag} set_db {time.time()-t0:.1f}s "
@@ -136,7 +146,7 @@ for pack in ("0", "1", "2"):  # off / b32 (5-bit) / b21 (base-21)
         os.environ["CUDASW4_TPU_STREAM_PREFETCH"] = pf
         eng = SearchEngine(num_top=10, max_device_bytes=budget)
         t0 = time.time()
-        eng.set_database(db)
+        eng.set_database(db, pack_cache=CACHE)
         assert eng.streaming
         print(f"pack={pack} prefetch={pf} set_db {time.time()-t0:.1f}s",
               flush=True)
