@@ -79,6 +79,14 @@ def get_lib():
         ]
         lib.tpusw_stream_close.restype = None
         lib.tpusw_stream_close.argtypes = [ctypes.c_void_p]
+        for name in ("tpusw_pack_b32", "tpusw_pack_b21"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                np.ctypeslib.ndpointer(np.int8, flags="C"),
+                ctypes.c_int64, ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
+            ]
         lib.tpusw_pack_bucket.restype = None
         lib.tpusw_pack_bucket.argtypes = [
             np.ctypeslib.ndpointer(np.int8, flags="C"),
@@ -174,6 +182,22 @@ def stream_fasta_native(path: str, chunk_chars: int = 256 << 20):
                 lib.tpusw_free_result(h)
     finally:
         lib.tpusw_stream_close(st)
+
+
+def pack_codes_native(flat, out, codec: str) -> bool:
+    """Native transfer-pack of one slab: ``flat`` int8 [rows, E] C-
+    contiguous codes -> ``out`` int32 [rows, W] (any C-contiguous
+    int32 buffer, e.g. a memmap slice).  Returns True on success, False
+    when the library is unavailable; raises ValueError on out-of-range
+    codes (same contract as the numpy path's assert)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    fn = lib.tpusw_pack_b32 if codec == "b32" else lib.tpusw_pack_b21
+    rc = fn(flat, flat.shape[0], flat.shape[1], out)
+    if rc != 0:
+        raise ValueError(f"transfer pack ({codec}): code out of range")
+    return True
 
 
 def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS):

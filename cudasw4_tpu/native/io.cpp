@@ -285,4 +285,55 @@ void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
     }
 }
 
+// Transfer-pack codecs (ops/pack5.py analog, the host-side hot loop of
+// streaming-mode preparation).  rows x E int8 codes -> rows x W int32
+// words; returns 0, or -1 on an out-of-range code (caller falls back to
+// the checked numpy path's error).  b32: 6 codes x 5 bits.  b21: 7
+// base-21 digits (21^7 < 2^31).  The numpy Horner pack measures
+// ~18 MB/s; this loop runs at memory speed, which matters once per
+// database at trembl scale (tens of GB).
+int tpusw_pack_b32(const int8_t* codes, int64_t rows, int64_t E,
+                   int32_t* out) {
+    int64_t W = (E + 5) / 6;
+    for (int64_t r = 0; r < rows; r++) {
+        const int8_t* row = codes + r * E;
+        int32_t* orow = out + r * W;
+        for (int64_t w = 0; w < W; w++) {
+            int64_t base = w * 6;
+            int64_t m = E - base < 6 ? E - base : 6;
+            int32_t acc = 0;
+            for (int64_t k = 0; k < m; k++) {
+                int8_t c = row[base + k];
+                if (c < 0 || c > 31) return -1;
+                acc |= (int32_t)c << (5 * k);
+            }
+            orow[w] = acc;
+        }
+    }
+    return 0;
+}
+
+int tpusw_pack_b21(const int8_t* codes, int64_t rows, int64_t E,
+                   int32_t* out) {
+    static const int32_t pow21[7] = {1, 21, 441, 9261, 194481, 4084101,
+                                     85766121};
+    int64_t W = (E + 6) / 7;
+    for (int64_t r = 0; r < rows; r++) {
+        const int8_t* row = codes + r * E;
+        int32_t* orow = out + r * W;
+        for (int64_t w = 0; w < W; w++) {
+            int64_t base = w * 7;
+            int64_t m = E - base < 7 ? E - base : 7;
+            int32_t acc = 0;
+            for (int64_t k = 0; k < m; k++) {
+                int8_t c = row[base + k];
+                if (c < 0 || c > 20) return -1;
+                acc += (int32_t)c * pow21[k];
+            }
+            orow[w] = acc;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -48,7 +48,7 @@ def test_pack21_roundtrip(rng):
 
 def test_pack21_rejects_out_of_range(rng):
     tiles = np.full((2, 8), 21, np.int8)  # 21 is not a classic code
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         pack5.pack21(tiles)
 
 
@@ -67,11 +67,29 @@ def test_pack_range_checked_beyond_first_slab(rng):
     corruption otherwise: b32 field bleed, b21 int32 overflow)."""
     tiles = rng.integers(0, 21, size=(130, 8)).astype(np.int8)
     tiles[129, 3] = 25  # beyond the first slab of 64
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         pack5.pack21(tiles, slab=64)
     tiles[129, 3] = -1
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         pack5.pack5(tiles, slab=64)
+
+
+def test_pack_native_matches_numpy(rng, monkeypatch):
+    """The C++ pack kernels must produce bit-identical words to the
+    numpy Horner/shift pack (the test oracle), including tail padding
+    and memmap-slice outputs."""
+    from cudasw4_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    for codec, maker in (("b32", pack5.pack5), ("b21", pack5.pack21)):
+        hi = 26 if codec == "b32" else 21
+        tiles = rng.integers(0, hi, size=(37, 11, 5)).astype(np.int8)
+        with_native = maker(tiles, slab=16)
+        monkeypatch.setenv("CUDASW4_TPU_NATIVE", "0")
+        with_numpy = maker(tiles, slab=16)
+        monkeypatch.delenv("CUDASW4_TPU_NATIVE")
+        np.testing.assert_array_equal(with_native, with_numpy)
 
 
 def test_pack5_out_and_slab(rng):
