@@ -556,7 +556,8 @@ class SearchEngine:
             def run_sharded(queries, qpad_full, params, R, S):
                 if (R, S) not in fns:
                     fns[(R, S)] = sh.build_sharded_batch_scan(
-                        self.mesh, kinds, use_pallas, k, QB, R=R, S=S
+                        self.mesh, kinds, use_pallas, k, QB, R=R, S=S,
+                        pad=self._pad,
                     )
                 return fns[(R, S)](
                     queries, qpad_full, params,
@@ -620,6 +621,29 @@ class SearchEngine:
 
         return run
 
+    def _batch_slot_params(self, entries, QB: int, width: int):
+        """Assemble the batch kernels' wire layout once for both the
+        resident and streaming batch paths: ``entries`` = (slot, codes)
+        pairs -> (queries [QB, width], nqs, pads, params [4+2*QB] =
+        [0, gop, gex, 0] + nqs + pads)."""
+        queries = np.full((QB, width), self._pad, dtype=np.int32)
+        nqs = np.zeros(QB, np.int32)
+        pads = np.full(QB, 4, np.int32)
+        for slot, c in entries:
+            queries[slot, : len(c)] = c
+            nqs[slot] = len(c)
+            pads[slot] = max(4, -(-len(c) // 4) * 4)
+        params = np.concatenate(
+            [
+                np.array(
+                    [0, self.scoring.gop, self.scoring.gex, 0], np.int32
+                ),
+                nqs,
+                pads,
+            ]
+        )
+        return queries, nqs, pads, params
+
     def _dispatch_batch(self, group):
         """Dispatch up to QB_MAX short queries; returns device handles."""
         QB = self.QB_MAX
@@ -631,24 +655,24 @@ class SearchEngine:
         if getattr(self, "_batch_scan_fn", None) is None:
             self._batch_scan_fn = self._build_batch_scan_fn()
         qcap_b = self._qcap_batch
-        queries = np.full((QB, qcap_b), self._pad, dtype=np.int32)
-        qpad_full = np.full((QB, self.qcap), self._pad, dtype=np.int32)
-        nqs = np.zeros(QB, np.int32)
-        pads = np.full(QB, 4, np.int32)
-        for i, c in enumerate(group):
-            queries[i, : len(c)] = c
-            qpad_full[i, : len(c)] = c
-            nqs[i] = len(c)
-            pads[i] = max(4, -(-len(c) // 4) * 4)
-        params = np.concatenate(
-            [
-                np.array(
-                    [0, self.scoring.gop, self.scoring.gex, 0], np.int32
-                ),
-                nqs,
-                pads,
-            ]
+        queries, nqs, pads, params = self._batch_slot_params(
+            enumerate(group), QB, qcap_b
         )
+        # Fallback (non-batch-kernel bucket) query pad: batch queries may
+        # legitimately exceed the single-scan qcap — the batch kernel's
+        # block is qcap_b wide — so grow this pad when needed (QCAP
+        # granularity on Pallas for compile-cache sharing; tight 256
+        # steps on jnp, whose scorer walks every padded row).
+        qw = self.qcap
+        longest = max((len(c) for c in group), default=0)
+        if longest > qw:
+            gran = (
+                sw_pallas_cell.QCAP if self.backend == "pallas" else 256
+            )
+            qw = min(qcap_b, max(qw, _round_up(longest, gran)))
+        qpad_full = np.full((QB, qw), self._pad, dtype=np.int32)
+        for i, c in enumerate(group):
+            qpad_full[i, : len(c)] = c
         if any(b.kernel == "col" for b in self.packed.buckets):
             from .ops import col_batch_geometry
 
@@ -956,6 +980,19 @@ class SearchEngine:
 
         if not group:
             return []
+        if self.state16 and not getattr(self, "_warned_state16_stream", 0):
+            # The reference's int16 fast path re-uploads on overflow; in
+            # streaming mode that would double the dominant transfer, so
+            # streaming always runs exact int32 — say so instead of
+            # silently ignoring the requested kernel family.
+            self._warned_state16_stream = True
+            import sys as _sys
+
+            print(
+                "NOTE: int16 kernel families are ignored in streaming "
+                "mode (always exact int32 state)",
+                file=_sys.stderr,
+            )
         t0 = time.perf_counter()
         # Slot count picks the compiled batch-kernel shape: the QB_MAX
         # shape for resident-sized groups (shared compile cache), the
@@ -971,16 +1008,8 @@ class SearchEngine:
         shorts = [i for i, c in enumerate(group) if len(c) <= qcap_b]
         longs = [i for i, c in enumerate(group) if len(c) > qcap_b]
 
-        queries = np.full((QB, qcap_b), self._pad, dtype=np.int32)
-        nqs_b = np.zeros(QB, np.int32)
-        pads_b = np.full(QB, 4, np.int32)
-        for slot, i in enumerate(shorts):
-            c = group[i]
-            queries[slot, : len(c)] = c
-            nqs_b[slot] = len(c)
-            pads_b[slot] = max(4, -(-len(c) // 4) * 4)
-        params_b = np.concatenate(
-            [np.array([0, gop, gex, 0], np.int32), nqs_b, pads_b]
+        queries, _nqs_b, pads_b, params_b = self._batch_slot_params(
+            ((slot, group[i]) for slot, i in enumerate(shorts)), QB, qcap_b
         )
         pdev = jnp.asarray(params_b)
         qb_dev = jnp.asarray(queries)
@@ -1522,8 +1551,16 @@ class SearchEngine:
         nq = len(codes)
         # QCAP-granular padding bounds the jit compile cache (one program
         # per QCAP multiple, not per query length) on the Pallas backend;
-        # the portable scorer pays per padded row, so jnp pads tight.
-        if self.backend == "pallas":
+        # the portable scorer pays per padded row, so pad tight whenever
+        # any bucket will take the portable kind for this query (long row
+        # buckets; cell buckets beyond QCAP_MAX — mirroring the sharded
+        # run()'s degradation rule; col buckets never degrade, they
+        # chunk).
+        any_jnp = self.backend != "pallas" or any(
+            kd == "jnp" or (kd == "cell" and nq > sw_pallas_cell.QCAP_MAX)
+            for kd in (bucket_kind(b) for b in self.packed.buckets)
+        )
+        if not any_jnp:
             qpad_len = max(self.qcap, _round_up(nq, sw_pallas_cell.QCAP))
         else:
             qpad_len = max(256, _round_up(nq, 256))

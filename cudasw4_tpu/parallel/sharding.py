@@ -150,7 +150,7 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh):
 
 def build_sharded_batch_scan(
     mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int,
-    R: int = 4, S: int = 1,
+    R: int = 4, S: int = 1, pad: int | None = None,
 ):
     """Batched variant of build_sharded_scan: scores QB queries per pass
     (cell buckets use the multi-query batch kernel, col buckets the
@@ -182,7 +182,7 @@ def build_sharded_batch_scan(
             elif use_pallas and kind == "col":
                 for s_part, base, take in batch_col_scores(
                     tiles, queries, mat_flat, params, QB, R, S,
-                    interpret=INTERPRET,
+                    interpret=INTERPRET, pad=pad,
                 ):
                     for si in range(take):
                         per_qb[base + si].append(s_part[si].reshape(-1))

@@ -75,6 +75,23 @@ def test_engine_scan_batch_matches_scan(rng):
         assert res.reference_ids == single.reference_ids
 
 
+def test_engine_scan_batch_query_beyond_qcap(rng):
+    """Batch queries may exceed the single-scan qcap (the batch kernel's
+    block is _qcap_batch wide); the fallback pad must grow instead of
+    crashing with a broadcast ValueError (regression)."""
+    engine = SearchEngine(num_top=5, qcap=64)
+    engine.QB_MAX = 2
+    engine.set_database(_make_db(rng))
+    assert engine._qcap_batch > engine.qcap
+    long_q = rng.integers(0, 20, size=100)  # qcap < 100 <= _qcap_batch
+    short_q = rng.integers(0, 20, size=30)
+    batch = engine.scan_batch([long_q, short_q])
+    for q, res in zip([long_q, short_q], batch):
+        single = engine.scan(q)
+        assert res.scores == single.scores
+        assert res.reference_ids == single.reference_ids
+
+
 def test_engine_scan_many_grouping(rng):
     engine = SearchEngine(num_top=3)
     engine.QB_MAX = 4
