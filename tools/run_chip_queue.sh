@@ -1,0 +1,50 @@
+#!/bin/bash
+# Serial on-chip benchmark queue for the round-2 streaming levers.
+#
+# Runs each pending A/B protocol (docs/PERFORMANCE.md "pending real-chip
+# measurement") strictly one at a time — the axon tunnel time-slices the
+# single chip between processes and concurrent jobs corrupt ALL timings.
+# Probes the tunnel before each stage and stops early if it is down, so
+# a partial window still yields partial results.
+#
+# Usage:  nohup bash tools/run_chip_queue.sh > /tmp/chipqueue/driver.log 2>&1 &
+# Results land in /tmp/chipqueue/<stage>.log
+
+set -u
+OUT=/tmp/chipqueue
+mkdir -p "$OUT"
+export PYTHONPATH=/root/.axon_site:/root/repo
+export DBBENCH_CACHE=/tmp/dbcache
+export STREAMBENCH_CACHE=/tmp/sbcache
+
+probe() {
+  timeout 150 python -c "import jax; print('DEVOK', jax.devices())" 2>/dev/null \
+    | grep -q DEVOK
+}
+
+stage() {
+  local name=$1; shift
+  if [ -e "$OUT/$name.log" ] && grep -q "STAGE_DONE" "$OUT/$name.log"; then
+    echo "$(date +%H:%M:%S) skip $name (done)"; return 0
+  fi
+  if ! probe; then
+    echo "$(date +%H:%M:%S) tunnel DOWN before $name — stopping queue"
+    exit 1
+  fi
+  echo "$(date +%H:%M:%S) start $name: $*"
+  # Cap each stage so a dead tunnel mid-stage cannot hang the queue.
+  timeout 5400 "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  if [ $rc -eq 0 ]; then echo "STAGE_DONE" >> "$OUT/$name.log"; fi
+  echo "$(date +%H:%M:%S) end $name rc=$rc"
+}
+
+cd /root/repo
+stage small   python tools/streampackbench.py small
+stage ladder  python tools/streampackbench.py ladder
+stage mixed   python tools/streampackbench.py mixed
+stage partial python tools/streampackbench.py partial
+# Resident-mode headline refresh (unaffected by the streaming levers;
+# confirms no regression from the round-2 engine work).
+stage peak    python bench.py
+echo "$(date +%H:%M:%S) QUEUE_COMPLETE"
