@@ -259,6 +259,15 @@ void tpusw_free_result(void* h) {
 // Pack sequences [start, stop) of a length-sorted db into position-major
 // tiles [T, L, NS] (padded with kUnknown).  out must hold T*L*NS bytes,
 // out_idx/out_len T*NS elements.
+//
+// The layout is a transpose (sequences are position-contiguous, tiles are
+// subject-contiguous per position), so a naive per-sequence scatter
+// writes one byte per cache line (stride NS = 4096) and runs at
+// ~60 MB/s.  Packing instead walks L1-resident SB x PB blocks: read SB
+// sequences' next PB bytes contiguously, transpose in the block, write
+// PB position rows of SB contiguous bytes.  Sequences are length-sorted,
+// so position blocks past the block's longest sequence are pure padding
+// already covered by the memset and are skipped.
 void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
                        const int32_t* lengths, int64_t start, int64_t stop,
                        int64_t L, int64_t NS, int8_t* out, int32_t* out_idx,
@@ -266,20 +275,46 @@ void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
     int64_t count = stop - start;
     int64_t T = (count + NS - 1) / NS;
     memset(out, kUnknown, (size_t)(T * L * NS));
+    constexpr int64_t SB = 64, PB = 64;
+    int8_t buf[SB][PB];
     for (int64_t t = 0; t < T; t++) {
-        for (int64_t s = 0; s < NS; s++) {
-            int64_t k = t * NS + s;
-            if (k < count) {
-                int64_t g = start + k;
-                out_idx[t * NS + s] = (int32_t)g;
-                out_len[t * NS + s] = lengths[g];
-                const int8_t* src = chars + offsets[g];
-                int8_t* dst = out + t * L * NS + s;  // stride NS over j
-                int64_t len = lengths[g];
-                for (int64_t j = 0; j < len; j++) dst[j * NS] = src[j];
-            } else {
-                out_idx[t * NS + s] = -1;
-                out_len[t * NS + s] = 0;
+        int8_t* tile = out + t * L * NS;
+        for (int64_t s0 = 0; s0 < NS; s0 += SB) {
+            int64_t nsub = SB;  // valid subjects in this block
+            if (t * NS + s0 >= count) nsub = 0;
+            else if (t * NS + s0 + SB > count) nsub = count - t * NS - s0;
+            int64_t maxlen = 0;
+            for (int64_t s = 0; s < nsub; s++) {
+                int64_t g = start + t * NS + s0 + s;
+                out_idx[t * NS + s0 + s] = (int32_t)g;
+                out_len[t * NS + s0 + s] = lengths[g];
+                if (lengths[g] > maxlen) maxlen = lengths[g];
+            }
+            for (int64_t s = nsub; s < SB; s++) {
+                out_idx[t * NS + s0 + s] = -1;
+                out_len[t * NS + s0 + s] = 0;
+            }
+            for (int64_t j0 = 0; j0 < maxlen; j0 += PB) {
+                int64_t pb = maxlen - j0 < PB ? maxlen - j0 : PB;
+                for (int64_t s = 0; s < nsub; s++) {
+                    int64_t g = start + t * NS + s0 + s;
+                    int64_t have = (int64_t)lengths[g] - j0;
+                    if (have > pb) have = pb;
+                    if (have > 0)
+                        memcpy(buf[s], chars + offsets[g] + j0,
+                               (size_t)have);
+                    else
+                        have = 0;
+                    if (have < PB)
+                        memset(buf[s] + have, kUnknown,
+                               (size_t)(PB - have));
+                }
+                for (int64_t s = nsub; s < SB; s++)
+                    memset(buf[s], kUnknown, PB);
+                for (int64_t p = 0; p < pb; p++) {
+                    int8_t* dst = tile + (j0 + p) * NS + s0;
+                    for (int64_t s = 0; s < SB; s++) dst[s] = buf[s][p];
+                }
             }
         }
     }
