@@ -257,12 +257,12 @@ def pack_db(
                 )
             )
 
-        if use_native and pad_code == UNKNOWN:
+        if use_native:
             from ..native import pack_bucket_native
 
             native = pack_bucket_native(
                 np.asarray(chars), offsets, lengths.astype(np.int32),
-                start, stop, L, NS,
+                start, stop, L, NS, pad=pad_code,
             )
             if native is not None:
                 finish(*native)
@@ -455,11 +455,12 @@ def pack_db_to_store(
 
     def pack_slab(a, b, L, NS):
         """[ceil((b-a)/NS)] tiles covering sequences [a, b) (row layout)."""
-        if use_native and pad_code == UNKNOWN:
+        if use_native:
             from ..native import pack_bucket_native
 
             native = pack_bucket_native(
-                chars, offsets, lengths.astype(np.int32), a, b, L, NS
+                chars, offsets, lengths.astype(np.int32), a, b, L, NS,
+                pad=pad_code,
             )
             if native is not None:
                 return native

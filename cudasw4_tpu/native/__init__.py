@@ -96,6 +96,7 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int8, flags="C,WRITEABLE"),
             np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
             np.ctypeslib.ndpointer(np.int32, flags="C,WRITEABLE"),
+            ctypes.c_int8,
         ]
         _lib = lib
         return _lib
@@ -200,9 +201,11 @@ def pack_codes_native(flat, out, codec: str) -> bool:
     return True
 
 
-def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS):
+def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS, pad=20):
     """Native position-major tile packing; returns (tiles, seq_index,
-    seq_lengths) or None if unavailable."""
+    seq_lengths) or None if unavailable.  ``pad`` fills tile positions
+    past each sequence (UNKNOWN classic, the dedicated padding code in
+    full-blosum mode)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -215,6 +218,6 @@ def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS):
         np.ascontiguousarray(chars, dtype=np.int8),
         np.ascontiguousarray(offsets, dtype=np.int64),
         np.ascontiguousarray(lengths, dtype=np.int32),
-        start, stop, L, NS, tiles, out_idx, out_len,
+        start, stop, L, NS, tiles, out_idx, out_len, pad,
     )
     return tiles, out_idx, out_len

@@ -257,7 +257,8 @@ void tpusw_free_result(void* h) {
 }
 
 // Pack sequences [start, stop) of a length-sorted db into position-major
-// tiles [T, L, NS] (padded with kUnknown).  out must hold T*L*NS bytes,
+// tiles [T, L, NS] (padded with `pad`; kUnknown classic, a dedicated
+// padding code in full-blosum mode).  out must hold T*L*NS bytes,
 // out_idx/out_len T*NS elements.
 //
 // The layout is a transpose (sequences are position-contiguous, tiles are
@@ -271,10 +272,10 @@ void tpusw_free_result(void* h) {
 void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
                        const int32_t* lengths, int64_t start, int64_t stop,
                        int64_t L, int64_t NS, int8_t* out, int32_t* out_idx,
-                       int32_t* out_len) {
+                       int32_t* out_len, int8_t pad) {
     int64_t count = stop - start;
     int64_t T = (count + NS - 1) / NS;
-    memset(out, kUnknown, (size_t)(T * L * NS));
+    memset(out, pad, (size_t)(T * L * NS));
     constexpr int64_t SB = 64, PB = 64;
     int8_t buf[SB][PB];
     for (int64_t t = 0; t < T; t++) {
@@ -290,6 +291,7 @@ void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
                 out_len[t * NS + s0 + s] = lengths[g];
                 if (lengths[g] > maxlen) maxlen = lengths[g];
             }
+            if (maxlen > L) maxlen = L;  // callers guarantee len <= L
             for (int64_t s = nsub; s < SB; s++) {
                 out_idx[t * NS + s0 + s] = -1;
                 out_len[t * NS + s0 + s] = 0;
@@ -306,11 +308,11 @@ void tpusw_pack_bucket(const int8_t* chars, const int64_t* offsets,
                     else
                         have = 0;
                     if (have < PB)
-                        memset(buf[s] + have, kUnknown,
+                        memset(buf[s] + have, pad,
                                (size_t)(PB - have));
                 }
                 for (int64_t s = nsub; s < SB; s++)
-                    memset(buf[s], kUnknown, PB);
+                    memset(buf[s], pad, PB);
                 for (int64_t p = 0; p < pb; p++) {
                     int8_t* dst = tile + (j0 + p) * NS + s0;
                     for (int64_t s = 0; s < SB; s++) dst[s] = buf[s][p];

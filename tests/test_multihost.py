@@ -30,7 +30,11 @@ def test_two_process_cpu_cluster(tmp_path):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env = dict(os.environ)
-    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # Replace (not prepend to) the inherited PYTHONPATH: the login profile
+    # exports the axon TPU plugin's sitecustomize dir, whose import dials
+    # the device tunnel and hangs the workers when the tunnel is down.
+    env["PYTHONPATH"] = repo
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [
         subprocess.Popen(

@@ -103,6 +103,28 @@ def test_pack_bucket_native_matches_python(tmp_path, rng):
         assert np.array_equal(x.lengths, y.lengths)
 
 
+def test_pack_bucket_native_full_blosum_pad(tmp_path, rng):
+    """Native packer honors a non-UNKNOWN pad code (full-blosum mode packs
+    with a dedicated padding code so disk UNKNOWN pad bytes are rewritten)."""
+    from cudasw4_tpu.db.format import load_db, make_db
+
+    recs = []
+    for i in range(200):
+        ln = int(rng.integers(1, 300))
+        recs.append((f"s{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "m.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    for pad in (24, 0):
+        a = pack_db(db, use_native=True, pad_code=pad)
+        b = pack_db(db, use_native=False, pad_code=pad)
+        for x, y in zip(a.buckets, b.buckets):
+            assert np.array_equal(x.tiles, y.tiles)
+            assert np.array_equal(x.seq_index, y.seq_index)
+            assert np.array_equal(x.lengths, y.lengths)
+
+
 def test_stream_fasta_native_batches(tmp_path, rng):
     """Streaming parse in small batches == whole-file parse."""
     import pytest
