@@ -349,6 +349,31 @@ def _tiles_bin_path(path: str) -> str:
     return path + ".tiles"
 
 
+class _store_build_lock:
+    """Interprocess lock serialising tile-store builds: on a multi-chip
+    host every process calls set_database with the same pack_cache path,
+    and without the lock they would duplicate the pack work (the unique
+    tmp names + atomic replace already keep the result consistent)."""
+
+    def __init__(self, path: str):
+        self._path = path + ".lock"
+        self._f = None
+
+    def __enter__(self):
+        import fcntl
+
+        self._f = open(self._path, "w")
+        fcntl.flock(self._f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._f, fcntl.LOCK_UN)
+        self._f.close()
+        return False
+
+
 def save_packed(packed: PackedDB, path: str,
                 pad_code: int = UNKNOWN) -> None:
     """Serialize a PackedDB to a disk-backed tile store: a manifest
@@ -369,7 +394,7 @@ def save_packed(packed: PackedDB, path: str,
         ),
     }
     offset = 0
-    tmp_bin = _tiles_bin_path(path) + ".tmp"
+    tmp_bin = f"{_tiles_bin_path(path)}.tmp.{os.getpid()}"
     with open(tmp_bin, "wb") as f:
         for i, b in enumerate(packed.buckets):
             arrays[f"b{i}_idx"] = b.seq_index
@@ -380,7 +405,7 @@ def save_packed(packed: PackedDB, path: str,
             )
             f.write(np.ascontiguousarray(b.tiles).tobytes())
             offset += b.tiles.size
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp_bin, _tiles_bin_path(path))
@@ -486,36 +511,44 @@ def pack_db_to_store(
                 return tiles, sidx, slen
         return _pack_slab(chars, offsets, lengths, a, b, L, NS, pad_code)
 
-    arrays = {}
-    offset = 0
-    nb = 0
-    tmp_bin = _tiles_bin_path(path) + ".tmp"
-    with open(tmp_bin, "wb") as f:
-        for start, stop, L, NS, kernel in plan_buckets(lengths, edges):
-            T = -(-(stop - start) // NS)
-            idx_parts, len_parts = [], []
-            for a in range(start, stop, slab_tiles * NS):
-                b = min(a + slab_tiles * NS, stop)
-                tiles, sidx, slen = pack_slab(a, b, L, NS)
-                # zero-copy write straight from the slab buffer
-                f.write(np.ascontiguousarray(tiles).data)
-                idx_parts.append(sidx.copy())
-                len_parts.append(slen.copy())
-            arrays[f"b{nb}_idx"] = np.concatenate(idx_parts)
-            arrays[f"b{nb}_len"] = np.concatenate(len_parts)
-            arrays[f"b{nb}_info"] = np.array(
-                [L, NS, _KERNEL_CODE[kernel], T, offset], np.int64
-            )
-            offset += T * L * NS
-            nb += 1
-    arrays["meta"] = np.array(
-        [PACK_FORMAT_VERSION, n, int(lengths.sum()), nb, pad_code], np.int64
-    )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fm:
-        np.savez(fm, **arrays)
-    os.replace(tmp_bin, _tiles_bin_path(path))
-    os.replace(tmp, path)
+    with _store_build_lock(path):
+        # Another process may have built the store while we waited.
+        prior = load_packed(
+            path, n, int(lengths.sum()), expect_pad=pad_code
+        )
+        if prior is not None:
+            return prior
+        arrays = {}
+        offset = 0
+        nb = 0
+        tmp_bin = f"{_tiles_bin_path(path)}.tmp.{os.getpid()}"
+        with open(tmp_bin, "wb") as f:
+            for start, stop, L, NS, kernel in plan_buckets(lengths, edges):
+                T = -(-(stop - start) // NS)
+                idx_parts, len_parts = [], []
+                for a in range(start, stop, slab_tiles * NS):
+                    b = min(a + slab_tiles * NS, stop)
+                    tiles, sidx, slen = pack_slab(a, b, L, NS)
+                    # zero-copy write straight from the slab buffer
+                    f.write(np.ascontiguousarray(tiles).data)
+                    idx_parts.append(sidx.copy())
+                    len_parts.append(slen.copy())
+                arrays[f"b{nb}_idx"] = np.concatenate(idx_parts)
+                arrays[f"b{nb}_len"] = np.concatenate(len_parts)
+                arrays[f"b{nb}_info"] = np.array(
+                    [L, NS, _KERNEL_CODE[kernel], T, offset], np.int64
+                )
+                offset += T * L * NS
+                nb += 1
+        arrays["meta"] = np.array(
+            [PACK_FORMAT_VERSION, n, int(lengths.sum()), nb, pad_code],
+            np.int64,
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fm:
+            np.savez(fm, **arrays)
+        os.replace(tmp_bin, _tiles_bin_path(path))
+        os.replace(tmp, path)
     return load_packed(path, n, int(lengths.sum()), expect_pad=pad_code)
 
 

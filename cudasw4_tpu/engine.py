@@ -213,7 +213,21 @@ class SearchEngine:
             # Residency first: the transfer pack can then skip the
             # pinned prefix (those rows never stream).
             self._load_resident_prefix(ndev)
-            if self._stream_codec:
+            if self._stream_codec and pack_cache:
+                # Serialize sidecar builds across processes sharing the
+                # pack_cache (a multi-chip host runs one engine process
+                # per chip): the freshness re-check inside
+                # _build_stream_pack turns waiters into fast loads.
+                from .db.packing import _store_build_lock
+
+                try:
+                    with _store_build_lock(pack_cache + ".pack5.build"):
+                        self._stream_pack = self._build_stream_pack(
+                            pack_cache
+                        )
+                except OSError:  # read-only dir: lockless best-effort
+                    self._stream_pack = self._build_stream_pack(pack_cache)
+            elif self._stream_codec:
                 self._stream_pack = self._build_stream_pack(pack_cache)
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")

@@ -296,3 +296,68 @@ def test_tile_store_disk_backed(tmp_path, rng):
     got = s_engine.scan(query)
     assert got.scores == want.scores
     assert got.reference_ids == want.reference_ids
+
+
+def test_tile_store_concurrent_build(tmp_path, rng):
+    """Two processes racing to build the same tile store (one engine
+    process per chip on a multi-chip host shares the pack_cache): the
+    flock serialises the pack, the loser loads the winner's store, and
+    the result is byte-identical to a single-process build."""
+    import os
+    import subprocess
+    import sys
+
+    from cudasw4_tpu.db.format import DBData
+    from cudasw4_tpu.db.packing import pack_db_to_store
+
+    lengths = np.sort(rng.integers(8, 300, size=400)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), UNKNOWN, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]): int(offsets[i]) + ln] = rng.integers(0, 20, ln)
+    db = DBData(chars=chars, offsets=offsets, lengths=lengths,
+                headers=np.zeros(0, np.uint8),
+                header_offsets=np.zeros(len(lengths) + 1, np.uint64))
+    np.save(tmp_path / "chars.npy", chars)
+    np.save(tmp_path / "offsets.npy", offsets)
+    np.save(tmp_path / "lengths.npy", lengths)
+
+    ref = str(tmp_path / "ref.tpupack.npz")
+    pack_db_to_store(db, ref, slab_tiles=2)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from cudasw4_tpu.db.format import DBData\n"
+        "from cudasw4_tpu.db.packing import pack_db_to_store\n"
+        f"base = {str(tmp_path)!r}\n"
+        "db = DBData(chars=np.load(base + '/chars.npy'),\n"
+        "            offsets=np.load(base + '/offsets.npy'),\n"
+        "            lengths=np.load(base + '/lengths.npy'),\n"
+        "            headers=np.zeros(0, np.uint8),\n"
+        "            header_offsets=np.zeros(401, np.uint64))\n"
+        "p = pack_db_to_store(db, base + '/race.tpupack.npz', slab_tiles=2)\n"
+        "assert p is not None\n"
+        "print('WORKER_OK')\n"
+    )
+    env = {"PATH": os.environ.get("PATH", ""), "PYTHONPATH": ""}
+    procs = [
+        subprocess.Popen([sys.executable, str(worker)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env)
+        for _ in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err
+        assert "WORKER_OK" in out
+    race = str(tmp_path / "race.tpupack.npz")
+    assert (
+        open(ref + ".tiles", "rb").read()
+        == open(race + ".tiles", "rb").read()
+    )
+    # no orphaned tmp files
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    assert leftovers == []
