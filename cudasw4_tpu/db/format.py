@@ -157,24 +157,93 @@ def write_db_from_arrays(
         bounds.tofile(f)
         partition_histogram(sorted_lengths).tofile(f)
 
-    with open(files["chars"], "wb") as fc, open(files["offsets"], "wb") as fo, open(
-        files["lengths"], "wb"
-    ) as fl, open(files["headers"], "wb") as fh, open(files["headeroffsets"], "wb") as fho:
-        cur_char = np.uint64(0)
-        cur_head = np.uint64(0)
-        np.uint64(0).tofile(fo)
-        np.uint64(0).tofile(fho)
-        for idx in order:
-            idx = int(idx)
-            a, b = int(offsets[idx]), int(offsets[idx + 1])
-            seq = chars[a:b]
-            fc.write(np.asarray(seq, dtype=np.int8).tobytes())
-            cur_char += np.uint64(b - a)
-            np.uint64(cur_char).tofile(fo)
-            np.int32(lengths[idx]).tofile(fl)
-            fh.write(headers[idx])
-            cur_head += np.uint64(len(headers[idx]))
-            np.uint64(cur_head).tofile(fho)
+    # Vectorized writes: the per-sequence loop this replaces spent 22 s
+    # of a 47 s 1M-seq makedb in 3M scalar tofile calls.
+    spans = offsets[1:] - offsets[:-1]  # padded char spans
+    spans_s = spans[order]
+    out_off = np.zeros(n + 1, np.uint64)
+    np.cumsum(spans_s, out=out_off[1:])
+    with open(files["offsets"], "wb") as fo:
+        out_off.tofile(fo)
+    with open(files["lengths"], "wb") as fl:
+        lengths[order].astype(np.int32).tofile(fl)
+
+    chars = np.ascontiguousarray(chars, dtype=np.int8)
+    starts = offsets[:-1][order]
+    with open(files["chars"], "wb") as fc:
+        # Gather the permuted char stream in bounded blocks through
+        # preallocated buffers (per-block temps page-fault enough to
+        # triple the sys time otherwise).  Indices build with the
+        # cumsum-of-deltas form of repeat: ones everywhere, a jump
+        # delta at each sequence start, prefix-sum -> source index.
+        block_chars = 8 << 20
+        bounds = np.searchsorted(
+            out_off,
+            np.arange(1, int(out_off[-1]) // block_chars + 2)
+            * block_chars,
+            side="left",
+        )
+        cap = 0
+        i = 0
+        for j in bounds:
+            j = min(int(j), n)
+            if j > i:
+                cap = max(cap, int(out_off[j] - out_off[i]))
+                i = j
+        # int32 indices halve the cumsum/take memory traffic; chars
+        # beyond 2^31 (make_db_capped territory) keep int64.
+        idt = np.int64 if chars.size > 2**31 - 1 else np.int32
+        delta = np.empty(cap, idt)
+        src = np.empty(cap, idt)
+        out = np.empty(cap, np.int8)
+        i = 0
+        for j in bounds:
+            j = min(int(j), n)
+            if j <= i:
+                continue
+            sp = spans_s[i:j]
+            tot = int(out_off[j] - out_off[i])
+            if (sp == 0).any():
+                # zero-span records would collide in the delta scatter;
+                # np.repeat drops them naturally (rare: empty sequences)
+                pos0 = np.zeros(j - i, np.int64)
+                np.cumsum(sp[:-1], out=pos0[1:])
+                s = src[:tot]
+                s[:] = np.repeat(starts[i:j] - pos0, sp)
+                s += np.arange(tot, dtype=np.int64)
+                o = out[:tot]
+                np.take(chars, s, out=o)
+                fc.write(o.data)
+                i = j
+                continue
+            d = delta[:tot]
+            d.fill(1)
+            # jump from the previous sequence's last char to this start
+            ends = starts[i:j] + sp  # exclusive ends
+            pos = np.zeros(j - i, np.int64)
+            np.cumsum(sp[:-1], out=pos[1:])
+            d[pos[0]] = starts[i]
+            d[pos[1:]] = starts[i + 1 : j] - ends[: j - i - 1] + 1
+            s = src[:tot]
+            np.cumsum(d, out=s)
+            o = out[:tot]
+            np.take(chars, s, out=o)
+            fc.write(o.data)
+            i = j
+
+    hlens = np.fromiter((len(h) for h in headers), np.int64, count=n)
+    out_hoff = np.zeros(n + 1, np.uint64)
+    np.cumsum(hlens[order], out=out_hoff[1:])
+    with open(files["headeroffsets"], "wb") as fho:
+        out_hoff.tofile(fho)
+    with open(files["headers"], "wb") as fh:
+        blob = bytearray()
+        for k in order:
+            blob += headers[int(k)]
+            if len(blob) >= (32 << 20):
+                fh.write(blob)
+                blob = bytearray()
+        fh.write(blob)
 
 
 def _encoded_batches(input_path: str, chunk_chars: int = 64 << 20):

@@ -131,7 +131,7 @@ def parse_fasta_native(path: str):
         headers = [
             hblob[int(hoffs[i]) : int(hoffs[i + 1])] for i in range(n)
         ]
-        return chars.astype(np.int8), offsets, lengths, headers
+        return np.asarray(chars, np.int8), offsets, lengths, headers
     finally:
         lib.tpusw_free_result(h)
 
