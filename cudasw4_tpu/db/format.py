@@ -131,21 +131,86 @@ def load_db(prefix: str, mmap: bool = True) -> DBData:
     return db
 
 
-def write_db_from_arrays(
-    prefix: str,
-    chars: np.ndarray,
-    offsets: np.ndarray,
-    lengths: np.ndarray,
-    headers: list[bytes],
-    already_sorted: bool = False,
+def _write_permuted_stream(f, data, starts, spans_s,
+                           block_chars=8 << 20):
+    """Write ``data[starts[k] : starts[k] + spans_s[k]]`` for every k, in
+    order, as one byte stream; returns the output offsets (int64 [n+1]).
+
+    Gathers in bounded blocks through preallocated buffers (fresh
+    per-block temps page-fault enough to triple sys time under the
+    write stream).  Indices build with the cumsum-of-deltas form of
+    repeat: ones everywhere, a jump delta at each span start,
+    prefix-sum -> source index.  ``data`` may be any contiguous
+    array-like, including a memmap (the capped makedb spill).
+    """
+    n = len(spans_s)
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(spans_s, out=out_off[1:])
+    total = int(out_off[-1])
+    bounds = np.searchsorted(
+        out_off,
+        np.arange(1, total // block_chars + 2) * block_chars,
+        side="left",
+    )
+    cap = 0
+    i = 0
+    for j in bounds:
+        j = min(int(j), n)
+        if j > i:
+            cap = max(cap, int(out_off[j] - out_off[i]))
+            i = j
+    # int32 indices halve the cumsum/take memory traffic; sources
+    # beyond 2^31 keep int64.
+    idt = np.int64 if len(data) > 2**31 - 1 else np.int32
+    delta = np.empty(cap, idt)
+    src = np.empty(cap, idt)
+    out = np.empty(cap, np.asarray(data[:0]).dtype if cap else np.int8)
+    i = 0
+    for j in bounds:
+        j = min(int(j), n)
+        if j <= i:
+            continue
+        sp = spans_s[i:j]
+        tot = int(out_off[j] - out_off[i])
+        s = src[:tot]
+        if (sp == 0).any():
+            # zero-span records would collide in the delta scatter;
+            # np.repeat drops them naturally (rare: empty sequences)
+            pos0 = np.zeros(j - i, np.int64)
+            np.cumsum(sp[:-1], out=pos0[1:])
+            s[:] = np.repeat(starts[i:j] - pos0, sp)
+            s += np.arange(tot, dtype=idt)
+        else:
+            d = delta[:tot]
+            d.fill(1)
+            # jump from the previous span's last element to this start
+            ends = starts[i:j] + sp  # exclusive ends
+            pos = np.zeros(j - i, np.int64)
+            np.cumsum(sp[:-1], out=pos[1:])
+            d[pos[0]] = starts[i]
+            d[pos[1:]] = starts[i + 1 : j] - ends[: j - i - 1] + 1
+            np.cumsum(d, out=s)
+        o = out[:tot]
+        np.take(data, s, out=o)
+        f.write(o.data)
+        i = j
+    return out_off
+
+
+def write_db_permuted(
+    prefix, chars, offsets, lengths, headers_blob, header_offsets, order
 ) -> None:
-    """Write the 6-file format, sorting sequences by length ascending."""
+    """Write the 6-file format given a precomputed permutation, reading
+    sequence/header bytes through any array-like (incl. the capped
+    makedb's spill memmaps).  Vectorized: the per-sequence loop this
+    replaces spent 22 s of a 47 s 1M-seq makedb in 3M scalar tofile
+    calls."""
     n = len(lengths)
     if n > MAX_SEQUENCES_IN_DB:
         raise ValueError(f"too many sequences: {n} > {MAX_SEQUENCES_IN_DB}")
     lengths = np.asarray(lengths, dtype=np.int64)
     offsets = np.asarray(offsets, dtype=np.int64)
-    order = np.arange(n) if already_sorted else np.argsort(lengths, kind="stable")
+    header_offsets = np.asarray(header_offsets, dtype=np.int64)
 
     files = _chunk_files(prefix)
     sorted_lengths = lengths[order]
@@ -157,93 +222,48 @@ def write_db_from_arrays(
         bounds.tofile(f)
         partition_histogram(sorted_lengths).tofile(f)
 
-    # Vectorized writes: the per-sequence loop this replaces spent 22 s
-    # of a 47 s 1M-seq makedb in 3M scalar tofile calls.
-    spans = offsets[1:] - offsets[:-1]  # padded char spans
-    spans_s = spans[order]
-    out_off = np.zeros(n + 1, np.uint64)
-    np.cumsum(spans_s, out=out_off[1:])
-    with open(files["offsets"], "wb") as fo:
-        out_off.tofile(fo)
     with open(files["lengths"], "wb") as fl:
-        lengths[order].astype(np.int32).tofile(fl)
+        sorted_lengths.astype(np.int32).tofile(fl)
 
-    chars = np.ascontiguousarray(chars, dtype=np.int8)
-    starts = offsets[:-1][order]
+    chars = chars if isinstance(chars, np.memmap) else np.ascontiguousarray(
+        chars, dtype=np.int8
+    )
+    spans_s = (offsets[1:] - offsets[:-1])[order]
     with open(files["chars"], "wb") as fc:
-        # Gather the permuted char stream in bounded blocks through
-        # preallocated buffers (per-block temps page-fault enough to
-        # triple the sys time otherwise).  Indices build with the
-        # cumsum-of-deltas form of repeat: ones everywhere, a jump
-        # delta at each sequence start, prefix-sum -> source index.
-        block_chars = 8 << 20
-        bounds = np.searchsorted(
-            out_off,
-            np.arange(1, int(out_off[-1]) // block_chars + 2)
-            * block_chars,
-            side="left",
+        out_off = _write_permuted_stream(
+            fc, chars, offsets[:-1][order], spans_s
         )
-        cap = 0
-        i = 0
-        for j in bounds:
-            j = min(int(j), n)
-            if j > i:
-                cap = max(cap, int(out_off[j] - out_off[i]))
-                i = j
-        # int32 indices halve the cumsum/take memory traffic; chars
-        # beyond 2^31 (make_db_capped territory) keep int64.
-        idt = np.int64 if chars.size > 2**31 - 1 else np.int32
-        delta = np.empty(cap, idt)
-        src = np.empty(cap, idt)
-        out = np.empty(cap, np.int8)
-        i = 0
-        for j in bounds:
-            j = min(int(j), n)
-            if j <= i:
-                continue
-            sp = spans_s[i:j]
-            tot = int(out_off[j] - out_off[i])
-            if (sp == 0).any():
-                # zero-span records would collide in the delta scatter;
-                # np.repeat drops them naturally (rare: empty sequences)
-                pos0 = np.zeros(j - i, np.int64)
-                np.cumsum(sp[:-1], out=pos0[1:])
-                s = src[:tot]
-                s[:] = np.repeat(starts[i:j] - pos0, sp)
-                s += np.arange(tot, dtype=np.int64)
-                o = out[:tot]
-                np.take(chars, s, out=o)
-                fc.write(o.data)
-                i = j
-                continue
-            d = delta[:tot]
-            d.fill(1)
-            # jump from the previous sequence's last char to this start
-            ends = starts[i:j] + sp  # exclusive ends
-            pos = np.zeros(j - i, np.int64)
-            np.cumsum(sp[:-1], out=pos[1:])
-            d[pos[0]] = starts[i]
-            d[pos[1:]] = starts[i + 1 : j] - ends[: j - i - 1] + 1
-            s = src[:tot]
-            np.cumsum(d, out=s)
-            o = out[:tot]
-            np.take(chars, s, out=o)
-            fc.write(o.data)
-            i = j
+    with open(files["offsets"], "wb") as fo:
+        out_off.astype(np.uint64).tofile(fo)
 
-    hlens = np.fromiter((len(h) for h in headers), np.int64, count=n)
-    out_hoff = np.zeros(n + 1, np.uint64)
-    np.cumsum(hlens[order], out=out_hoff[1:])
-    with open(files["headeroffsets"], "wb") as fho:
-        out_hoff.tofile(fho)
+    hspans_s = (header_offsets[1:] - header_offsets[:-1])[order]
     with open(files["headers"], "wb") as fh:
-        blob = bytearray()
-        for k in order:
-            blob += headers[int(k)]
-            if len(blob) >= (32 << 20):
-                fh.write(blob)
-                blob = bytearray()
-        fh.write(blob)
+        out_hoff = _write_permuted_stream(
+            fh, headers_blob, header_offsets[:-1][order], hspans_s
+        )
+    with open(files["headeroffsets"], "wb") as fho:
+        out_hoff.astype(np.uint64).tofile(fho)
+
+
+def write_db_from_arrays(
+    prefix: str,
+    chars: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    headers: list[bytes],
+    already_sorted: bool = False,
+) -> None:
+    """Write the 6-file format, sorting sequences by length ascending."""
+    n = len(lengths)
+    order = (
+        np.arange(n) if already_sorted
+        else np.argsort(np.asarray(lengths), kind="stable")
+    )
+    hlens = np.fromiter((len(h) for h in headers), np.int64, count=n)
+    hoffs = np.zeros(n + 1, np.int64)
+    np.cumsum(hlens, out=hoffs[1:])
+    blob = np.frombuffer(b"".join(headers), np.uint8)
+    write_db_permuted(prefix, chars, offsets, lengths, blob, hoffs, order)
 
 
 def _encoded_batches(input_path: str, chunk_chars: int = 64 << 20):
@@ -351,40 +371,6 @@ def make_db_capped(
             "num_chars": int(lengths_a.astype(np.int64).sum()),
             "num_padded_chars": int(offsets_a[-1]),
         }
-
-
-def write_db_permuted(
-    prefix, chars, offsets, lengths, headers_blob, header_offsets, order
-) -> None:
-    """Write the 6-file format given a precomputed permutation, reading
-    sequence/header bytes through any array-like (incl. memmap)."""
-    files = _chunk_files(prefix)
-    sorted_lengths = np.asarray(lengths, dtype=np.int64)[order]
-    with open(prefix + "metadata", "wb"):
-        pass
-    with open(files["metadata"], "wb") as f:
-        bounds = np.asarray(LENGTH_PARTITION_BOUNDARIES, dtype=np.int32)
-        np.int32(len(bounds)).tofile(f)
-        bounds.tofile(f)
-        partition_histogram(sorted_lengths).tofile(f)
-    with open(files["chars"], "wb") as fc, open(files["offsets"], "wb") as fo, \
-         open(files["lengths"], "wb") as fl, open(files["headers"], "wb") as fh, \
-         open(files["headeroffsets"], "wb") as fho:
-        cur_char = np.uint64(0)
-        cur_head = np.uint64(0)
-        np.uint64(0).tofile(fo)
-        np.uint64(0).tofile(fho)
-        for idx in order:
-            idx = int(idx)
-            a, b = int(offsets[idx]), int(offsets[idx + 1])
-            fc.write(np.asarray(chars[a:b], dtype=np.int8).tobytes())
-            cur_char += np.uint64(b - a)
-            np.uint64(cur_char).tofile(fo)
-            np.int32(lengths[idx]).tofile(fl)
-            ha, hb = int(header_offsets[idx]), int(header_offsets[idx + 1])
-            fh.write(np.asarray(headers_blob[ha:hb], dtype=np.uint8).tobytes())
-            cur_head += np.uint64(hb - ha)
-            np.uint64(cur_head).tofile(fho)
 
 
 def make_db(
