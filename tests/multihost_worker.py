@@ -70,13 +70,17 @@ def main():
         print(f"BATCH {pid} {res.scores} {res.reference_ids}", flush=True)
 
     # Sharded streaming with the 5-bit transfer pack: chunks shard over
-    # the same global mesh and each process unpacks its shard.
+    # the same global mesh and each process unpacks its shard.  Both
+    # processes share one pack_cache path (argv[5], the single-host
+    # multi-process layout): the store-build flock serialises the pack
+    # and the loser loads the winner's store.
     os.environ["CUDASW4_TPU_STREAM_PACK"] = "1"
+    pack_cache = sys.argv[5] if len(sys.argv) > 5 else None
     seng = SearchEngine(
         num_top=10, qcap=64, mesh=global_mesh(), max_device_bytes=1,
         stream_chunk_bytes=1 << 14,
     )
-    seng.set_database(db)
+    seng.set_database(db, pack_cache=pack_cache)
     assert seng.streaming and seng._stream_pack is not None
     sres = seng.scan(queries[0])
     print(f"STREAM {pid} {sres.scores} {sres.reference_ids}", flush=True)

@@ -38,7 +38,8 @@ def test_two_process_cpu_cluster(tmp_path):
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(pid), "4"],
+            [sys.executable, worker, coordinator, "2", str(pid), "4",
+             str(tmp_path / "shared.tpupack.npz")],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
