@@ -164,7 +164,7 @@ def _write_permuted_stream(f, data, starts, spans_s,
     idt = np.int64 if len(data) > 2**31 - 1 else np.int32
     delta = np.empty(cap, idt)
     src = np.empty(cap, idt)
-    out = np.empty(cap, np.asarray(data[:0]).dtype if cap else np.int8)
+    out = np.empty(cap, np.asarray(data[:0]).dtype)
     i = 0
     for j in bounds:
         j = min(int(j), n)
@@ -172,6 +172,9 @@ def _write_permuted_stream(f, data, starts, spans_s,
             continue
         sp = spans_s[i:j]
         tot = int(out_off[j] - out_off[i])
+        if tot == 0:  # block of all-empty records: nothing to write
+            i = j
+            continue
         s = src[:tot]
         if (sp == 0).any():
             # zero-span records would collide in the delta scatter;
@@ -391,18 +394,21 @@ def make_db(
 
         native = None
         try:
-            native = parse_fasta_native(input_path)
+            native = parse_fasta_native(input_path, header_blob=True)
         except ValueError:
             raise
         except Exception:
             native = None  # any binding issue -> python fallback
         if native is not None:
-            chars, offsets, lengths, headers = native
+            chars, offsets, lengths, (hblob, hoffs) = native
             if len(lengths) > MAX_SEQUENCES_IN_DB:
                 raise ValueError(f"more than {MAX_SEQUENCES_IN_DB} sequences")
             if len(lengths) and int(lengths.max()) > MAX_SEQUENCE_LENGTH:
                 raise ValueError("sequence exceeds maximum length")
-            write_db_from_arrays(prefix, chars, offsets, lengths, headers)
+            order = np.argsort(lengths, kind="stable")
+            write_db_permuted(
+                prefix, chars, offsets, lengths, hblob, hoffs, order
+            )
             return {
                 "num_sequences": int(len(lengths)),
                 "num_chars": int(lengths.astype(np.int64).sum()),

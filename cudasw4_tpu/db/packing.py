@@ -363,7 +363,14 @@ class _store_build_lock:
         import fcntl
 
         self._f = open(self._path, "w")
-        fcntl.flock(self._f, fcntl.LOCK_EX)
+        try:
+            fcntl.flock(self._f, fcntl.LOCK_EX)
+        except OSError:
+            # e.g. a filesystem without flock support (NFS ENOLCK):
+            # close the fd before propagating or it leaks per retry.
+            self._f.close()
+            self._f = None
+            raise
         return self
 
     def __exit__(self, *exc):
@@ -492,7 +499,7 @@ def pack_db_to_store(
         before the next call."""
         cnt = b - a
         T = -(-cnt // NS)
-        if use_native:
+        if use_native and NS % 64 == 0:  # blocked kernel's subject step
             from ..native import get_lib
 
             lib = get_lib()
@@ -511,19 +518,30 @@ def pack_db_to_store(
                 return tiles, sidx, slen
         return _pack_slab(chars, offsets, lengths, a, b, L, NS, pad_code)
 
+    plans = plan_buckets(lengths, edges)
+    want_layout = [
+        (L, NS, kernel, -(-(stop - start) // NS))
+        for start, stop, L, NS, kernel in plans
+    ]
+
     with _store_build_lock(path):
-        # Another process may have built the store while we waited.
+        # Another process may have built the store while we waited —
+        # but only reuse it if its bucket layout matches the requested
+        # edges (a store built under different edges/tuning must
+        # rebuild, not silently return).
         prior = load_packed(
             path, n, int(lengths.sum()), expect_pad=pad_code
         )
-        if prior is not None:
+        if prior is not None and [
+            (b.L, b.NS, b.kernel, b.num_tiles) for b in prior.buckets
+        ] == want_layout:
             return prior
         arrays = {}
         offset = 0
         nb = 0
         tmp_bin = f"{_tiles_bin_path(path)}.tmp.{os.getpid()}"
         with open(tmp_bin, "wb") as f:
-            for start, stop, L, NS, kernel in plan_buckets(lengths, edges):
+            for start, stop, L, NS, kernel in plans:
                 T = -(-(stop - start) // NS)
                 idx_parts, len_parts = [], []
                 for a in range(start, stop, slab_tiles * NS):

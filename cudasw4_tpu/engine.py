@@ -213,22 +213,31 @@ class SearchEngine:
             # Residency first: the transfer pack can then skip the
             # pinned prefix (those rows never stream).
             self._load_resident_prefix(ndev)
-            if self._stream_codec and pack_cache:
+            if self._stream_codec:
                 # Serialize sidecar builds across processes sharing the
                 # pack_cache (a multi-chip host runs one engine process
-                # per chip): the freshness re-check inside
-                # _build_stream_pack turns waiters into fast loads.
+                # per chip): the freshness check inside
+                # _build_stream_pack runs under the lock, turning
+                # waiters into fast loads.  Only lock *acquisition*
+                # falls back lockless (read-only dir / no-flock fs) —
+                # build errors must propagate, not retrigger an
+                # unlocked rebuild.
+                import contextlib
+
                 from .db.packing import _store_build_lock
 
+                lock = contextlib.nullcontext()
+                if pack_cache:
+                    try:
+                        lock = _store_build_lock(pack_cache + ".pack5.build")
+                        lock.__enter__()
+                    except OSError:
+                        lock = contextlib.nullcontext()
+                        lock.__enter__()
                 try:
-                    with _store_build_lock(pack_cache + ".pack5.build"):
-                        self._stream_pack = self._build_stream_pack(
-                            pack_cache
-                        )
-                except OSError:  # read-only dir: lockless best-effort
                     self._stream_pack = self._build_stream_pack(pack_cache)
-            elif self._stream_codec:
-                self._stream_pack = self._build_stream_pack(pack_cache)
+                finally:
+                    lock.__exit__(None, None, None)
             if self.verbose:
                 print("Database exceeds device memory budget: streaming mode")
         elif ndev > 1:

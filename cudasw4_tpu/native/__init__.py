@@ -14,6 +14,8 @@ import threading
 
 import numpy as np
 
+from ..constants import UNKNOWN
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "io.cpp")
 _SO = os.path.join(_HERE, "libtpusw_io.so")
@@ -102,11 +104,15 @@ def get_lib():
         return _lib
 
 
-def parse_fasta_native(path: str):
+def parse_fasta_native(path: str, header_blob: bool = False):
     """Parse+encode+pad a FASTA/FASTQ(.gz) file natively.
 
-    Returns (chars int8[], offsets int64[], lengths int32[],
-    headers list[bytes]) or None if the native library is unavailable.
+    Returns (chars int8[], offsets int64[], lengths int32[], headers)
+    or None if the native library is unavailable.  ``headers`` is a
+    list[bytes] by default; with ``header_blob=True`` it is a
+    (blob uint8[], header_offsets int64[n+1]) pair instead — the makedb
+    hot path writes from the blob directly, skipping a million-object
+    list plus a re-join.
     """
     lib = get_lib()
     if lib is None:
@@ -121,16 +127,37 @@ def parse_fasta_native(path: str):
         n = lib.tpusw_num_sequences(h)
         nchars = lib.tpusw_num_chars(h)
         hsize = lib.tpusw_headers_size(h)
-        chars = np.ctypeslib.as_array(lib.tpusw_chars(h), (max(nchars, 1),))[
-            :nchars
-        ].copy()
+        # An empty native Buf has a NULL data pointer (no records, or
+        # every sequence empty) — as_array would raise on it.
+        chars = (
+            np.ctypeslib.as_array(lib.tpusw_chars(h), (nchars,)).copy()
+            if nchars else np.zeros(0, np.int8)
+        )
         offsets = np.ctypeslib.as_array(lib.tpusw_offsets(h), (n + 1,)).copy()
-        lengths = np.ctypeslib.as_array(lib.tpusw_lengths(h), (max(n, 1),))[:n].copy()
+        lengths = (
+            np.ctypeslib.as_array(lib.tpusw_lengths(h), (n,)).copy()
+            if n else np.zeros(0, np.int32)
+        )
         hoffs = np.ctypeslib.as_array(lib.tpusw_header_offsets(h), (n + 1,)).copy()
-        hblob = ctypes.string_at(lib.tpusw_headers(h), hsize) if hsize else b""
-        headers = [
-            hblob[int(hoffs[i]) : int(hoffs[i + 1])] for i in range(n)
-        ]
+        if header_blob:
+            if hsize:
+                blob = np.ctypeslib.as_array(
+                    ctypes.cast(
+                        lib.tpusw_headers(h), ctypes.POINTER(ctypes.c_uint8)
+                    ),
+                    (hsize,),
+                ).copy()
+            else:  # all-empty headers: the native buffer is NULL
+                blob = np.zeros(0, np.uint8)
+            headers = (blob, hoffs)
+        else:
+            hblob = (
+                ctypes.string_at(lib.tpusw_headers(h), hsize)
+                if hsize else b""
+            )
+            headers = [
+                hblob[int(hoffs[i]) : int(hoffs[i + 1])] for i in range(n)
+            ]
         return np.asarray(chars, np.int8), offsets, lengths, headers
     finally:
         lib.tpusw_free_result(h)
@@ -201,13 +228,16 @@ def pack_codes_native(flat, out, codec: str) -> bool:
     return True
 
 
-def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS, pad=20):
+def pack_bucket_native(chars, offsets, lengths, start, stop, L, NS,
+                       pad=UNKNOWN):
     """Native position-major tile packing; returns (tiles, seq_index,
     seq_lengths) or None if unavailable.  ``pad`` fills tile positions
     past each sequence (UNKNOWN classic, the dedicated padding code in
     full-blosum mode)."""
     lib = get_lib()
-    if lib is None:
+    # The blocked-transpose kernel walks 64-subject blocks; any in-repo
+    # NS (128/256/4096) divides, but guard the exported helper.
+    if lib is None or NS % 64 != 0:
         return None
     count = stop - start
     T = -(-count // NS)

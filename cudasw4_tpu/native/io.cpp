@@ -259,7 +259,8 @@ void tpusw_free_result(void* h) {
 // Pack sequences [start, stop) of a length-sorted db into position-major
 // tiles [T, L, NS] (padded with `pad`; kUnknown classic, a dedicated
 // padding code in full-blosum mode).  out must hold T*L*NS bytes,
-// out_idx/out_len T*NS elements.
+// out_idx/out_len T*NS elements.  NS must be a multiple of SB (64), the
+// blocked walk's subject step — callers (native/__init__.py) enforce it.
 //
 // The layout is a transpose (sequences are position-contiguous, tiles are
 // subject-contiguous per position), so a naive per-sequence scatter

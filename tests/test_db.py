@@ -361,3 +361,43 @@ def test_tile_store_concurrent_build(tmp_path, rng):
     # no orphaned tmp files
     leftovers = [f for f in os.listdir(tmp_path) if ".tmp." in f]
     assert leftovers == []
+
+
+def test_makedb_empty_headers_and_sequences(tmp_path):
+    """Bare '>' headers and empty records survive the vectorized writer
+    (review finding: an all-empty header stream crashed np.take)."""
+    fa = tmp_path / "e.fa"
+    fa.write_text(">\nACDEF\n>\nGHIKL\n>\n\n")
+    from cudasw4_tpu.db.format import load_db, make_db
+
+    make_db(str(fa), str(tmp_path / "edb"))
+    db = load_db(str(tmp_path / "edb"))
+    assert db.num_sequences == 3
+    assert list(db.lengths) == [0, 5, 5]
+    assert db.get_header(0) == ""
+
+
+def test_tile_store_rebuilds_on_edge_change(tmp_path, rng):
+    """pack_db_to_store must not return a prior store built under
+    different bucket edges (review finding: the short-circuit only
+    validated version/shape/pad)."""
+    from cudasw4_tpu.db.format import DBData
+    from cudasw4_tpu.db.packing import pack_db_to_store
+
+    lengths = np.sort(rng.integers(8, 120, size=300)).astype(np.int32)
+    padded = (lengths + 3) // 4 * 4
+    offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
+    chars = np.full(int(offsets[-1]), UNKNOWN, dtype=np.int8)
+    for i, ln in enumerate(lengths):
+        chars[int(offsets[i]): int(offsets[i]) + ln] = rng.integers(0, 20, ln)
+    db = DBData(chars=chars, offsets=offsets, lengths=lengths,
+                headers=np.zeros(0, np.uint8),
+                header_offsets=np.zeros(len(lengths) + 1, np.uint64))
+    p = str(tmp_path / "s.tpupack.npz")
+    first = pack_db_to_store(db, p, edges=[128])
+    second = pack_db_to_store(db, p, edges=[64, 128])
+    assert [(b.L, b.NS) for b in first.buckets] != \
+        [(b.L, b.NS) for b in second.buckets]
+    third = pack_db_to_store(db, p, edges=[64, 128])
+    assert [(b.L, b.NS) for b in third.buckets] == \
+        [(b.L, b.NS) for b in second.buckets]
