@@ -60,27 +60,36 @@ def main():
     order = np.argsort(lengths, kind="stable")
     sorted_recs = [recs[i] for i in order]
 
-    cfg = make_scoring_config("blosum62")
-    lines = [
-        "Query number\tQuery length\tQuery header\tResult number\t"
-        "Result score\tReference length\tReference header\t"
-        "Reference ID in DB\n"
-    ]
-    for qid, (qh, qs) in enumerate(queries):
-        qc = encode(qs)
-        scores = [
-            sw_score_scalar(qc, encode(s), cfg.matrix, cfg.gop, cfg.gex)
-            for _, s in sorted_recs
+    # Classic 21-letter mode and full-blosum mode (25-dim tables; like
+    # the reference's CAN_USE_FULL_BLOSUM build, sequences still encode
+    # through ConvertAA_20 so every ambiguity code scores as 'B').
+    for mat, fname in (
+        ("blosum62", "golden_top10.tsv"),
+        ("blosum62_full", "golden_top10_full.tsv"),
+    ):
+        cfg = make_scoring_config(mat)
+        lines = [
+            "Query number\tQuery length\tQuery header\tResult number\t"
+            "Result score\tReference length\tReference header\t"
+            "Reference ID in DB\n"
         ]
-        idx = np.lexsort((np.arange(len(scores)), -np.asarray(scores)))[:10]
-        for rank, ri in enumerate(idx):
-            rh, rs = sorted_recs[ri]
-            lines.append(
-                f"{qid}\t{len(qs)}\t{qh}\t{rank}\t{scores[ri]}\t"
-                f"{len(rs)}\t{rh}\t{ri}\n"
-            )
-    with open(os.path.join(FIXDIR, "golden_top10.tsv"), "w") as f:
-        f.writelines(lines)
+        for qid, (qh, qs) in enumerate(queries):
+            qc = encode(qs)
+            scores = [
+                sw_score_scalar(qc, encode(s), cfg.matrix, cfg.gop, cfg.gex)
+                for _, s in sorted_recs
+            ]
+            idx = np.lexsort(
+                (np.arange(len(scores)), -np.asarray(scores))
+            )[:10]
+            for rank, ri in enumerate(idx):
+                rh, rs = sorted_recs[ri]
+                lines.append(
+                    f"{qid}\t{len(qs)}\t{qh}\t{rank}\t{scores[ri]}\t"
+                    f"{len(rs)}\t{rh}\t{ri}\n"
+                )
+        with open(os.path.join(FIXDIR, fname), "w") as f:
+            f.writelines(lines)
     print(f"wrote fixtures to {FIXDIR}")
 
 
