@@ -23,6 +23,36 @@ import time
 NOMINAL_GPU_PEAK_GCUPS = 1000.0
 
 
+def _init_devices_watchdog(timeout_s: float = 600.0):
+    """Backend init with a hang guard: on a tunneled TPU runtime a dead
+    tunnel makes jax.devices() sleep forever (no error).  Emit the JSON
+    contract line with an error marker and exit non-zero instead of
+    hanging the driver.  First *compiles* are slow but happen after
+    device init, so they are not under this timer."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "peak_total_gcups_single_chip",
+                "value": 0.0,
+                "unit": "GCUPS",
+                "vs_baseline": 0.0,
+                "error": f"device init exceeded {timeout_s:.0f}s "
+                         "(dead tunnel?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+
+    devs = jax.devices()
+    done.set()
+    return devs
+
+
 def _run_config(num, length, queries, reps):
     """Best total GCUPS for one pseudo-DB config (warmed)."""
     from cudasw4_tpu.db.format import pseudo_to_dbdata
@@ -62,6 +92,9 @@ def main() -> None:
 
     from benchmarks.make_queries import QUERY_LENGTHS
 
+    _init_devices_watchdog(
+        float(os.environ.get("BENCH_INIT_TIMEOUT", 600))
+    )
     rng = np.random.default_rng(123)
     aas = "ARNDCQEGHILKMFPSTWYV"
     queries = [
