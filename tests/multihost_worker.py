@@ -84,6 +84,42 @@ def main():
     assert seng.streaming and seng._stream_pack is not None
     sres = seng.scan(queries[0])
     print(f"STREAM {pid} {sres.scores} {sres.reference_ids}", flush=True)
+
+    # Chunked-col long query across the distributed mesh: shrink the
+    # kernel constants (as dryrun_multichip does) so interpret-mode
+    # Pallas stays cheap, force a col bucket, and scan a query spanning
+    # 3 NQC chunks.  The H/F boundary carry stays shard-local inside
+    # the shard_map; both processes must print identical results.
+    import cudasw4_tpu.ops as ops_mod
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.ops import sw_pallas_col
+
+    sw_pallas_col.LC = 16
+    sw_pallas_col.NQC = 32
+    packing.CELL_MAX_L = 64
+    packing.COL_SPEEDUP = 1e9
+    ops_mod.INTERPRET = True
+    lengths2 = np.concatenate(
+        [np.full(40, 30), np.full(12, 80)]
+    ).astype(np.int32)
+    padded2 = (lengths2 + 3) // 4 * 4
+    offsets2 = np.concatenate([[0], np.cumsum(padded2)]).astype(np.uint64)
+    chars2 = rng.integers(0, 20, size=int(offsets2[-1])).astype(np.int8)
+    from cudasw4_tpu.db.format import DBData as _DBData
+
+    db2 = _DBData(
+        chars=chars2, offsets=offsets2, lengths=lengths2,
+        headers=np.frombuffer(b"h" * len(lengths2), dtype=np.uint8),
+        header_offsets=np.arange(len(lengths2) + 1, dtype=np.uint64),
+    )
+    assert "col" in {b.kernel for b in packing.pack_db(db2).buckets}
+    col_eng = SearchEngine(
+        num_top=5, qcap=64, backend="pallas", mesh=global_mesh()
+    )
+    col_eng.set_database(db2)
+    qlong = rng.integers(0, 20, 70).astype(np.int8)  # 3 NQC chunks
+    lres = col_eng.scan(qlong)
+    print(f"LONGCOL {pid} {lres.scores} {lres.reference_ids}", flush=True)
     print(f"DONE {pid} primary={is_primary()}", flush=True)
 
 

@@ -62,9 +62,9 @@ def test_two_process_cpu_cluster(tmp_path):
         lines = [
             line.split(None, 2)[2]
             for line in out.splitlines()
-            if line.startswith(("RESULT", "BATCH", "STREAM"))
+            if line.startswith(("RESULT", "BATCH", "STREAM", "LONGCOL"))
         ]
-        assert len(lines) == 6, out
+        assert len(lines) == 7, out
         assert f"DONE {pid}" in out
         return lines
 
