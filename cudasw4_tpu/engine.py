@@ -147,6 +147,12 @@ class SearchEngine:
         self._res_tiles = {}
         self._stream_pack = None
         self._stream_codec = None
+        # ... and the previous DB's fully-resident tile arrays: a second
+        # set_database landing on a different branch (e.g. resident ->
+        # streaming) must not keep ~0.7x HBM of dead tiles pinned.
+        self._bucket_tiles = []
+        self._sharded_tiles = None
+        self._sharded_idx = None
         if pack_cache:
             from .db.packing import load_packed
 
@@ -576,13 +582,13 @@ class SearchEngine:
 
             fns = {}
 
-            def run_sharded(queries, qpad_full, params, R, S):
-                if (R, S) not in fns:
-                    fns[(R, S)] = sh.build_sharded_batch_scan(
+            def run_sharded(queries, qpad_full, params, R, S, count=None):
+                if (R, S, count) not in fns:
+                    fns[(R, S, count)] = sh.build_sharded_batch_scan(
                         self.mesh, kinds, use_pallas, k, QB, R=R, S=S,
-                        pad=self._pad,
+                        pad=self._pad, count=count,
                     )
-                return fns[(R, S)](
+                return fns[(R, S, count)](
                     queries, qpad_full, params,
                     self._sharded_tiles, self._sharded_idx,
                     self._matrix_flat, self._matrix_f32,
@@ -592,9 +598,9 @@ class SearchEngine:
 
         from .ops import INTERPRET, batch_col_scores
 
-        @functools.partial(jax.jit, static_argnames=("R", "S"))
+        @functools.partial(jax.jit, static_argnames=("R", "S", "count"))
         def batch_fn(queries, qpad_full, params, bucket_tiles, valid,
-                     flat_idx, mat_flat, mat_f32, R=4, S=1):
+                     flat_idx, mat_flat, mat_f32, R=4, S=1, count=None):
             per_qb = [[] for _ in range(QB)]
             for tiles, kind in zip(bucket_tiles, kinds):
                 if use_pallas and kind == "cell":
@@ -608,15 +614,26 @@ class SearchEngine:
                     # S-slot passes: each tile block is streamed and its
                     # LUT built once per pass, not once per query
                     # (verdict item 3; cudasw4.cuh:1742-2103 batches all
-                    # partitions per upload the same way).
+                    # partitions per upload the same way).  ``count``
+                    # skips passes over empty tail slots (partial
+                    # batches); their rows fill with zeros, masked out
+                    # by _materialize_batch slicing to the real group.
+                    last = None
+                    covered = 0
                     for s_part, base, take in batch_col_scores(
                         tiles, queries, mat_flat, params, QB, R, S,
-                        interpret=INTERPRET, pad=self._pad,
+                        interpret=INTERPRET, count=count, pad=self._pad,
                     ):
                         for si in range(take):
                             per_qb[base + si].append(
                                 s_part[si].reshape(-1)
                             )
+                        last = s_part
+                        covered = base + take
+                    if covered < QB:
+                        zero = jnp.zeros_like(last[0].reshape(-1))
+                        for qb in range(covered, QB):
+                            per_qb[qb].append(zero)
                 else:
                     for qb in range(QB):
                         pq = jnp.stack([
@@ -635,11 +652,12 @@ class SearchEngine:
             vals, idx = jax.lax.top_k(rows, max(1, k))
             return vals, jnp.take(flat_idx, idx)
 
-        def run(queries, qpad_full, params, R, S):
+        def run(queries, qpad_full, params, R, S, count=None):
             return batch_fn(
                 queries, qpad_full, params,
                 tuple(self._bucket_tiles), self._valid, self._flat_idx,
                 self._matrix_flat, self._matrix_f32, R=R, S=S,
+                count=count,
             )
 
         return run
@@ -700,11 +718,16 @@ class SearchEngine:
             from .ops import col_batch_geometry
 
             R, S = col_batch_geometry(int(pads.max()), QB)
+            # Partial batches skip col passes over empty tail slots
+            # (each pass costs a full tile stream + LUT build).  At
+            # least one pass always runs so every slot's score rows
+            # keep the same bucket-concat layout (flat_idx mapping).
+            count = min(QB, max(S, -(-len(group) // S) * S))
         else:
             # R/S are unused without col buckets; pin them so the fused
             # batch program compiles once, not per distinct max pad.
-            R, S = 4, 1
-        return self._batch_scan_fn(queries, qpad_full, params, R, S)
+            R, S, count = 4, 1, QB
+        return self._batch_scan_fn(queries, qpad_full, params, R, S, count)
 
     def _materialize_batch(self, vals, ids, group, t0):
         """Turn one batch dispatch into per-query ScanResults (in order).
@@ -771,10 +794,14 @@ class SearchEngine:
         pending = deque()  # ("single"|"batch", payload...)
         # Streaming DBs group on every backend: the batch exists to
         # amortise the host->HBM stream, not just the batch kernel.
+        # state16 only disables the resident batch kernels; streaming
+        # scans run exact int32 regardless, and falling back to singles
+        # there would stream the whole DB once per query (~QB_STREAM x
+        # the transfers).
         batching = (
             (self.backend == "pallas" or self.streaming)
             and self.packed is not None
-            and not self.state16
+            and (not self.state16 or self.streaming)
         )
         shortbuf: list = []
 
@@ -867,9 +894,18 @@ class SearchEngine:
         return len(self.mesh.devices.flat) if self.mesh is not None else 1
 
     def _device_budget(self) -> int:
-        """Per-chip device-memory budget in bytes."""
+        """Per-chip device-memory budget in bytes.
+
+        Multi-process meshes always use the conservative constant: the
+        streaming-vs-resident decision must be identical on every
+        process (they build different collective programs), and
+        memory_stats() is only available for addressable devices — its
+        per-process fallbacks could diverge.  Pass max_device_bytes for
+        an exact process-uniform budget."""
         budget = self.max_device_bytes
         if budget is None:
+            if jax.process_count() > 1:
+                return 8 << 30
             try:
                 stats = jax.devices()[0].memory_stats() or {}
                 budget = int(stats.get("bytes_limit", 12 << 30) * 0.7)
@@ -930,8 +966,19 @@ class SearchEngine:
             if "bytes_limit" not in stats:
                 return  # unknown real memory: do not pin blind
         total_budget = self._device_budget() * ndev
+        # Headroom for in-flight streamed chunks: _chunk_tiles floors at
+        # ndev tiles per chunk, so a huge-L bucket's actual chunks can
+        # far exceed stream_chunk_bytes — reserve for the real maximum.
+        max_chunk = max(
+            (
+                self._chunk_tiles(b, ndev) * b.L * b.NS
+                for b in self.packed.buckets
+                if b.num_tiles
+            ),
+            default=self.stream_chunk_bytes,
+        )
         budget = min(
-            total_budget - 4 * self.stream_chunk_bytes,
+            total_budget - 4 * max(max_chunk, self.stream_chunk_bytes),
             int(0.85 * total_budget),
         )
         if budget <= 0:

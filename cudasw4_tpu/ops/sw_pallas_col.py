@@ -319,6 +319,13 @@ def score_bucket_col_any_query(
     processing tiles in groups that bound the carry temp (see
     COL_CARRY_TEMP_BYTES).
 
+    KEEP IN SYNC with parallel/sharding.py::_col_chunked_local — the
+    same tile-group/boundary-carry algorithm inside a shard_map (host
+    syncs are impossible there, so groups serialize via a fake data
+    dependency instead of np.asarray).  Changes to the temp budget,
+    carry semantics, or the single-group special case must land in
+    both.
+
     ``codes``: encoded query (numpy int8/int32, host).  Returns f32
     [T, G*NSL] scores (device array).
     """

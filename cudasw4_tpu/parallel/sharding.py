@@ -80,7 +80,11 @@ def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
     per-shard — the analog of the reference's per-GPU 4 GiB temp,
     /root/reference/src/cudasw4.cuh:1928-1947).  Tiles are processed in
     groups bounding the carry temp (COL_CARRY_TEMP_BYTES per shard),
-    mirroring the reference's maxTempBytes subject batching."""
+    mirroring the reference's maxTempBytes subject batching.
+
+    KEEP IN SYNC with ops/sw_pallas_col.py::score_bucket_col_any_query
+    (the single-device twin; it serializes groups via host sync, here a
+    fake data dependency does it inside the shard_map)."""
     from ..ops import INTERPRET, sw_pallas_col
 
     T, L, g, nsl = tiles.shape
@@ -151,6 +155,7 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh):
 def build_sharded_batch_scan(
     mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int,
     R: int = 4, S: int = 1, pad: int | None = None,
+    count: int | None = None,
 ):
     """Batched variant of build_sharded_scan: scores QB queries per pass
     (cell buckets use the multi-query batch kernel, col buckets the
@@ -180,12 +185,23 @@ def build_sharded_batch_scan(
                 for qb in range(QB):
                     per_qb[qb].append(s[qb].reshape(-1))
             elif use_pallas and kind == "col":
+                # ``count`` skips passes over empty tail slots (partial
+                # batches); their rows fill with zeros, discarded when
+                # the caller slices to the real group.
+                last = None
+                covered = 0
                 for s_part, base, take in batch_col_scores(
                     tiles, queries, mat_flat, params, QB, R, S,
-                    interpret=INTERPRET, pad=pad,
+                    interpret=INTERPRET, count=count, pad=pad,
                 ):
                     for si in range(take):
                         per_qb[base + si].append(s_part[si].reshape(-1))
+                    last = s_part
+                    covered = base + take
+                if covered < QB:
+                    zero = jnp.zeros_like(last[0].reshape(-1))
+                    for qb in range(covered, QB):
+                        per_qb[qb].append(zero)
             else:
                 for qb in range(QB):
                     pq = jnp.stack([

@@ -167,12 +167,16 @@ def test_engine_streaming_partial_residency(rng):
     """A budget that fits part of the DB pins a resident prefix (the
     reference's cached-region model, cudasw4.cuh:1087-1144): streamed
     tiles shrink, results stay identical to the fully-resident engine."""
-    db = _make_db(rng, n=400)
+    # Headroom reserves 4x the largest REAL chunk (tile floor can make
+    # chunks exceed stream_chunk_bytes): here max chunk = one 64x128
+    # tile = 8 KiB, so the budget must cover 32 KiB headroom plus a
+    # pinnable prefix while staying under the ~80 KiB packed DB.
+    db = _make_db(rng, n=1600)
     full = SearchEngine(num_top=5)
     full.set_database(db)
 
     chunk = 2048
-    eng = SearchEngine(num_top=5, max_device_bytes=6 * chunk,
+    eng = SearchEngine(num_top=5, max_device_bytes=24 * chunk,
                        stream_chunk_bytes=chunk)
     eng.QB_MAX = 2
     eng.set_database(db)
@@ -183,7 +187,7 @@ def test_engine_streaming_partial_residency(rng):
     streamed = sum(1 for _ in eng._stream_chunks())
     assert streamed > 0, "DB exceeds budget: a remainder must stream"
 
-    none = SearchEngine(num_top=5, max_device_bytes=6 * chunk,
+    none = SearchEngine(num_top=5, max_device_bytes=24 * chunk,
                         stream_chunk_bytes=chunk)
     import os as _os
     _os.environ["CUDASW4_TPU_STREAM_RESIDENT"] = "0"
@@ -241,3 +245,26 @@ def test_engine_streaming_qb_stream_one_pass(rng):
         single = resident.scan(q)
         assert res.scores == single.scores
         assert res.reference_ids == single.reference_ids
+
+
+def test_set_database_drops_previous_resident_tiles(rng):
+    """A resident DB followed by a streaming DB on the same engine must
+    not keep the first DB's device tile arrays alive (review finding:
+    ~0.7x HBM of dead tiles pinned across a resident->streaming
+    transition)."""
+    eng = SearchEngine(num_top=5)
+    eng.set_database(_make_db(rng, n=200))
+    assert eng._bucket_tiles
+    big = _make_db(rng, n=1600)
+    eng.max_device_bytes = 16384
+    eng.stream_chunk_bytes = 2048
+    eng.set_database(big)
+    assert eng.streaming
+    assert eng._bucket_tiles == []
+    q = rng.integers(0, 20, 30).astype(np.int8)
+    full = SearchEngine(num_top=5)
+    full.set_database(big)
+    want = full.scan(q)
+    got = eng.scan(q)
+    assert got.scores == want.scores
+    assert got.reference_ids == want.reference_ids

@@ -133,7 +133,7 @@ def test_sharded_streaming_partial_residency():
     from cudasw4_tpu.db.format import DBData
 
     rng = np.random.default_rng(99)
-    lengths = np.sort(rng.integers(10, 60, size=1500)).astype(np.int32)
+    lengths = np.sort(rng.integers(10, 60, size=3000)).astype(np.int32)
     padded = (lengths + 3) // 4 * 4
     offsets = np.concatenate([[0], np.cumsum(padded)]).astype(np.uint64)
     chars = rng.integers(0, 20, size=int(offsets[-1])).astype(np.int8)
@@ -150,7 +150,11 @@ def test_sharded_streaming_partial_residency():
     eng = SearchEngine(
         num_top=5, qcap=64, backend="jnp",
         mesh=make_mesh(jax.devices()[:2]),
-        max_device_bytes=15_360, stream_chunk_bytes=1024,
+        # Headroom reserves 4x the largest real chunk (2 tiles x 8 KiB
+        # = 16 KiB here after the mesh-multiple floor): the per-chip
+        # budget must cover 64 KiB total headroom plus a pinnable
+        # prefix while the packed DB (~150 KiB) still exceeds it.
+        max_device_bytes=40_960, stream_chunk_bytes=1024,
     )
     eng.set_database(tdb)
     assert eng.streaming
