@@ -47,4 +47,7 @@ stage partial python tools/streampackbench.py partial
 # Resident-mode headline refresh (unaffected by the streaming levers;
 # confirms no regression from the round-2 engine work).
 stage peak    python bench.py
+# Full reference-protocol sweep: the batch tail-group fix (column
+# passes skip empty slots) should lift the 768-2048 col configs.
+stage sweep   env BENCH_MODE=sweep BENCH_REPS=2 python bench.py
 echo "$(date +%H:%M:%S) QUEUE_COMPLETE"
