@@ -24,6 +24,13 @@ probe() {
 
 stage() {
   local name=$1; shift
+  # Never start a stage after the deadline (the round driver runs its
+  # own bench on the chip at round end; contention corrupts BOTH).
+  if [ -n "${QUEUE_DEADLINE_EPOCH:-}" ] && \
+     [ "$(date +%s)" -ge "$QUEUE_DEADLINE_EPOCH" ]; then
+    echo "$(date +%H:%M:%S) deadline passed — stopping queue"
+    exit 0
+  fi
   if [ -e "$OUT/$name.log" ] && grep -q "STAGE_DONE" "$OUT/$name.log"; then
     echo "$(date +%H:%M:%S) skip $name (done)"; return 0
   fi
