@@ -17,6 +17,20 @@ from .substitution import (
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Lazy top-level conveniences: importing the engine pulls in jax,
+    # which pure-host uses (makedb on a CPU box) should not pay for.
+    if name == "SearchEngine":
+        from .engine import SearchEngine
+
+        return SearchEngine
+    if name == "load_db":
+        from .db.format import load_db
+
+        return load_db
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
     "ALPHABET_SIZE",
     "AMINO_ACIDS",
