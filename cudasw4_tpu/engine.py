@@ -102,6 +102,10 @@ class SearchEngine:
         # reference's -DCUDASW_DEBUG_CHECK_CORRECTNESS build,
         # /root/reference/src/cudasw4.cuh:728-756).
         self.debug_check = os.environ.get("CUDASW4_TPU_DEBUG_CHECK", "0") == "1"
+        # Below this many tile bytes a raw transfer beats the
+        # pack+unpack round trip (tests lower it to cover the packed
+        # resident path on tiny fixtures).
+        self._resident_pack_min = 1 << 20
         qbs = os.environ.get("CUDASW4_TPU_QB_STREAM")
         if qbs:
             # May be lowered below QB_MAX (memory-tight hosts shrink the
@@ -249,7 +253,7 @@ class SearchEngine:
         elif ndev > 1:
             self._scan_fn = self._build_sharded_scan_fn()
         else:
-            self._bucket_tiles = [jnp.asarray(b.tiles) for b in self.packed.buckets]
+            self._bucket_tiles = self._upload_bucket_tiles()
             # Slot -> global reference id map, concatenated in bucket order.
             flat_idx = np.concatenate(
                 [b.seq_index.reshape(-1) for b in self.packed.buckets]
@@ -392,7 +396,10 @@ class SearchEngine:
         mesh = self.mesh
         ndev = len(mesh.devices.flat)
         sh.pad_tiles_for_mesh(self.packed, ndev, pad=self._pad)
-        tiles, seq_idx, _ = sh.shard_bucket_arrays(self.packed, mesh)
+        tiles, seq_idx, _ = sh.shard_bucket_arrays(
+            self.packed, mesh, codec=self._resident_codec(),
+            pack_min=self._resident_pack_min,
+        )
         self._sharded_tiles = tiles
         self._sharded_idx = seq_idx
         kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
@@ -890,6 +897,47 @@ class SearchEngine:
         while pending:
             yield from materialize(pending.popleft())
 
+    def _resident_codec(self) -> str | None:
+        """Transfer codec for *resident* uploads (set_database /
+        pinned-prefix device_puts, as opposed to per-scan streaming).
+        CUDASW4_TPU_RESIDENT_PACK: "1" b32 (default on accelerators),
+        "2" b21, "0" raw.  Defaults off on CPU, where host->device is a
+        memcpy and packing only adds work."""
+        from .ops.pack5 import choose_codec
+
+        default = "0" if jax.devices()[0].platform == "cpu" else "1"
+        return choose_codec(
+            os.environ.get("CUDASW4_TPU_RESIDENT_PACK", default),
+            int(self._pad),
+        )
+
+    def _upload_bucket_tiles(self) -> list:
+        """Host->device upload of every bucket's tiles (single-chip
+        resident path).  With the resident codec enabled, tiles ship
+        packed (ops/pack5.py) and unpack in a jitted prologue on device:
+        1.5-1.75x fewer host->HBM bytes, which on network-attached TPU
+        runtimes is most of set_database's wall time for multi-GB DBs.
+        The reference's analog is prefetchDBToGpus' bulk H2D of the
+        cached region (/root/reference/src/cudasw4.cuh:651) — raw bytes
+        there, because PCIe is never its bottleneck."""
+        from .ops.pack5 import CODECS
+
+        codec = self._resident_codec()
+        out = []
+        for b in self.packed.buckets:
+            # Tiny buckets transfer faster than the pack+unpack round
+            # trip; the memmap-backed store also reads lazily either way.
+            if codec is None or b.tiles.size < self._resident_pack_min:
+                out.append(jnp.asarray(b.tiles))
+                continue
+            pack, unpack = CODECS[codec][2], CODECS[codec][3]
+            # Feed the packed host array straight to the jitted unpack —
+            # the jit-managed input transfer is the fast path on this
+            # runtime (an explicit device_put chained into a jit call
+            # measured 4x slower; see docs/PERFORMANCE.md pack5 notes).
+            out.append(unpack(pack(b.tiles), tuple(b.tiles.shape[1:])))
+        return out
+
     def _mesh_ndev(self) -> int:
         return len(self.mesh.devices.flat) if self.mesh is not None else 1
 
@@ -1000,13 +1048,27 @@ class SearchEngine:
                     break
                 chunk = np.ascontiguousarray(b.tiles[t0:t1])
                 sidx = np.asarray(b.seq_index[t0:t1])
+                codec = self._resident_codec()
+                if codec is not None and chunk.size >= self._resident_pack_min:
+                    # Ship the pin packed, unpack on device (same codec
+                    # plumbing as streamed chunks; the unpack is
+                    # elementwise along the tile axis so a sharded input
+                    # stays sharded).
+                    from .ops.pack5 import CODECS
+
+                    pack, unpack = CODECS[codec][2], CODECS[codec][3]
+                    chunk = pack(chunk)
+                else:
+                    codec = None
                 try:
                     if ndev > 1:
                         xdev = jax.device_put(chunk, self._chunk_sharding)
                         sdev = jax.device_put(sidx, self._chunk_sharding)
                     else:
-                        xdev = jax.device_put(chunk)
+                        xdev = chunk if codec else jax.device_put(chunk)
                         sdev = sidx
+                    if codec:
+                        xdev = unpack(xdev, tuple(b.tiles.shape[1:]))
                     jax.block_until_ready(xdev)
                 except RuntimeError:  # XlaRuntimeError (OOM) included
                     if multiprocess:

@@ -142,12 +142,29 @@ def pad_tiles_for_mesh(packed: PackedDB, ndev: int,
         )
 
 
-def shard_bucket_arrays(packed: PackedDB, mesh: Mesh):
-    """Device-put every bucket's tiles + seq_index sharded along tiles."""
+def shard_bucket_arrays(packed: PackedDB, mesh: Mesh,
+                        codec: str | None = None, pack_min: int = 1 << 20):
+    """Device-put every bucket's tiles + seq_index sharded along tiles.
+
+    ``codec`` (ops/pack5.py name): ship tiles packed and unpack on
+    device — the unpack is elementwise along the (sharded) tile axis, so
+    each chip unpacks its own shard with no collectives.  1.5-1.75x
+    fewer host->HBM bytes at set_database time."""
     axis = mesh.axis_names[0]
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    tiles = tuple(jax.device_put(b.tiles, sh) for b in packed.buckets)
+
+    def put_tiles(b):
+        if codec is None or b.tiles.size < pack_min:
+            return jax.device_put(b.tiles, sh)
+        from ..ops.pack5 import CODECS
+
+        pack, unpack = CODECS[codec][2], CODECS[codec][3]
+        return unpack(
+            jax.device_put(pack(b.tiles), sh), tuple(b.tiles.shape[1:])
+        )
+
+    tiles = tuple(put_tiles(b) for b in packed.buckets)
     seq_idx = tuple(jax.device_put(b.seq_index, sh) for b in packed.buckets)
     return tiles, seq_idx, rep
 

@@ -180,3 +180,59 @@ def test_empty_database(rng):
     res = engine.scan("ARNDC")
     assert res.scores == [] and res.reference_ids == []
     assert list(engine.scan_many(["ARNDC", "WWYV"]))[1].scores == []
+
+
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_resident_packed_upload_matches_raw(tmp_path, rng, monkeypatch, mode):
+    """CUDASW4_TPU_RESIDENT_PACK ships resident tiles packed and unpacks
+    on device; scores must be identical to the raw upload path."""
+    recs = _random_records(rng, 50)
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+
+    monkeypatch.delenv("CUDASW4_TPU_RESIDENT_PACK", raising=False)
+    raw = SearchEngine(num_top=10, qcap=64)
+    raw.set_database(db)
+    a = raw.scan(query)
+
+    monkeypatch.setenv("CUDASW4_TPU_RESIDENT_PACK", mode)
+    packed = SearchEngine(num_top=10, qcap=64)
+    packed._resident_pack_min = 0  # tiny fixture: force the codec path
+    packed.set_database(db)
+    b = packed.scan(query)
+    assert a.scores == b.scores
+    assert sorted(zip(a.scores, a.reference_ids)) == sorted(
+        zip(b.scores, b.reference_ids)
+    )
+
+
+def test_resident_prefix_packed_upload(tmp_path, rng, monkeypatch):
+    """Partial residency (pinned prefix) with the packed upload enabled
+    must match the all-raw resident result.  Budget sized so the
+    headroom rule (4 stream chunks + 15%) still leaves room to pin."""
+    recs = _random_records(rng, 40_000, max_len=40)
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+
+    monkeypatch.setenv("CUDASW4_TPU_RESIDENT_PACK", "0")
+    base = SearchEngine(num_top=10, qcap=64)
+    base.set_database(db)
+    a = base.scan(query)
+
+    monkeypatch.setenv("CUDASW4_TPU_RESIDENT_PACK", "1")
+    eng = SearchEngine(
+        num_top=10, qcap=64, max_device_bytes=1 << 20,
+        stream_chunk_bytes=1 << 17,
+    )
+    eng._resident_pack_min = 0
+    eng.set_database(db)
+    assert eng.streaming
+    assert eng._resident_chunks, "fixture should pin a prefix"
+    b = eng.scan(query)
+    assert a.scores == b.scores

@@ -98,3 +98,23 @@ def test_merge_topk_cross_shard_ties():
     v, i = fn(scores, ids)
     assert [float(x) for x in v] == [9.0, 9.0, 8.0]
     assert [int(x) for x in i] == [100, 5000, 3]
+
+
+def test_sharded_packed_upload_matches(tmp_path, rng, monkeypatch):
+    """Mesh-resident tiles shipped packed (device-side unpack per shard)
+    must score identically to the raw sharded upload."""
+    db = _db(tmp_path, rng)
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+
+    mesh = make_mesh()
+    monkeypatch.setenv("CUDASW4_TPU_RESIDENT_PACK", "0")
+    raw = SearchEngine(num_top=10, qcap=64, mesh=mesh)
+    raw.set_database(db)
+    want = raw.scan(query)
+
+    monkeypatch.setenv("CUDASW4_TPU_RESIDENT_PACK", "1")
+    packed = SearchEngine(num_top=10, qcap=64, mesh=mesh)
+    packed._resident_pack_min = 0
+    packed.set_database(db)
+    got = packed.scan(query)
+    assert got.scores == want.scores

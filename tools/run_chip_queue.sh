@@ -47,14 +47,17 @@ stage() {
 }
 
 cd /root/repo
-stage small   python tools/streampackbench.py small
-stage ladder  python tools/streampackbench.py ladder
-stage mixed   python tools/streampackbench.py mixed
-stage partial python tools/streampackbench.py partial
+# Ordered fastest/highest-value first so a partial window still covers
+# the headline stages; `mixed` is the longest and mostly duplicated by
+# small+partial, so it runs last.
+stage small   env BENCH_REPS=2 python tools/streampackbench.py small
+stage ladder  env BENCH_REPS=2 python tools/streampackbench.py ladder
 # Resident-mode headline refresh (unaffected by the streaming levers;
 # confirms no regression from the round-2 engine work).
 stage peak    python bench.py
+stage partial env BENCH_REPS=2 python tools/streampackbench.py partial
 # Full reference-protocol sweep: the batch tail-group fix (column
 # passes skip empty slots) should lift the 768-2048 col configs.
-stage sweep   env BENCH_MODE=sweep BENCH_REPS=2 python bench.py
+stage setdb   env BENCH_REPS=2 python tools/setdbbench.py      
+#tage mixed   env BENCH_REPS=2 python tools/streampackbench.py mixed
 echo "$(date +%H:%M:%S) QUEUE_COMPLETE"
