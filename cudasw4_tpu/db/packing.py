@@ -469,10 +469,19 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int,
 def pack_db_to_store(
     db, path: str, edges=None, slab_tiles: int = 64,
     use_native: bool = True, pad_code: int = UNKNOWN,
+    stream_codec: str | None = None,
 ) -> PackedDB:
     """Pack a length-sorted database directly into a disk-backed tile
     store, holding at most one slab (``slab_tiles`` tiles) of tile data
     in RAM at a time — packing a database far larger than host memory.
+
+    ``stream_codec`` (ops/pack5.py codec name): also build the
+    ``<path>.pack5/`` transfer-pack sidecar inline, packing each slab
+    while it is hot in RAM.  The engine otherwise builds that sidecar
+    lazily on the first streaming set_database by re-reading the entire
+    raw tile file from disk — at trembl scale a full extra pass over
+    ~100 GB.  Best-effort: a sidecar write failure disables it and the
+    raw store build continues.
 
     Returns the memmap-backed PackedDB (same result as
     ``save_packed(pack_db(db), path); load_packed(path)``, byte-identical
@@ -536,6 +545,30 @@ def pack_db_to_store(
             (b.L, b.NS, b.kernel, b.num_tiles) for b in prior.buckets
         ] == want_layout:
             return prior
+        # Inline transfer-pack sidecar (same layout + manifest the engine's
+        # _build_stream_pack writes/validates: <path>.pack5/b{i}.bin per
+        # bucket + manifest.json).  Stale manifests are removed before any
+        # data is overwritten so an interrupted build can never validate.
+        sidecar = None
+        s_pack = s_words = None
+        if stream_codec is not None:
+            from ..ops import pack5 as p5
+
+            _cpw, s_words, s_pack = p5.CODECS[stream_codec][:3]
+            if int(pad_code) > p5.CODECS[stream_codec][5]:
+                raise ValueError(
+                    f"pad code {pad_code} exceeds codec {stream_codec}"
+                )
+            sidecar = path + ".pack5"
+            try:
+                os.makedirs(sidecar, exist_ok=True)
+                try:
+                    os.remove(os.path.join(sidecar, "manifest.json"))
+                except FileNotFoundError:
+                    pass
+            except OSError:
+                sidecar = None  # best-effort, like the engine's lazy build
+
         arrays = {}
         offset = 0
         nb = 0
@@ -544,11 +577,27 @@ def pack_db_to_store(
             for start, stop, L, NS, kernel in plans:
                 T = -(-(stop - start) // NS)
                 idx_parts, len_parts = [], []
+                pk_mm = None
+                if sidecar and T:
+                    W = s_words(L * NS)
+                    try:
+                        pk_mm = np.memmap(
+                            os.path.join(sidecar, f"b{nb}.bin"),
+                            np.int32, mode="w+", shape=(T, W),
+                        )
+                    except (OSError, ValueError):
+                        sidecar = None
                 for a in range(start, stop, slab_tiles * NS):
                     b = min(a + slab_tiles * NS, stop)
                     tiles, sidx, slen = pack_slab(a, b, L, NS)
                     # zero-copy write straight from the slab buffer
                     f.write(np.ascontiguousarray(tiles).data)
+                    if pk_mm is not None and sidecar:
+                        t0 = (a - start) // NS
+                        try:
+                            s_pack(tiles, out=pk_mm[t0 : t0 + len(tiles)])
+                        except OSError:
+                            sidecar = None
                     idx_parts.append(sidx.copy())
                     len_parts.append(slen.copy())
                 arrays[f"b{nb}_idx"] = np.concatenate(idx_parts)
@@ -567,6 +616,34 @@ def pack_db_to_store(
             np.savez(fm, **arrays)
         os.replace(tmp_bin, _tiles_bin_path(path))
         os.replace(tmp, path)
+        if sidecar:
+            # Same manifest the engine validates in _build_stream_pack;
+            # written atomically, data-first, so a crash mid-build leaves
+            # an invalid (rebuildable) sidecar, never a lying one.
+            import json
+
+            manifest = {
+                "version": 2,
+                "codec": stream_codec,
+                "pad": int(pad_code),
+                "num_sequences": int(n),
+                "total_chars": int(lengths.sum()),
+                "buckets": [
+                    {
+                        "L": int(L), "NS": int(NS), "kernel": kernel,
+                        "T": int(-(-(stop - start) // NS)),
+                        "W": int(s_words(L * NS)),
+                    }
+                    for start, stop, L, NS, kernel in plans
+                ],
+            }
+            try:
+                mtmp = os.path.join(sidecar, f"manifest.tmp.{os.getpid()}")
+                with open(mtmp, "w") as mf:
+                    json.dump(manifest, mf)
+                os.replace(mtmp, os.path.join(sidecar, "manifest.json"))
+            except OSError:
+                pass
     return load_packed(path, n, int(lengths.sum()), expect_pad=pad_code)
 
 

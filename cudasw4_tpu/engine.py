@@ -170,12 +170,34 @@ class SearchEngine:
             # Pack straight into the disk-backed tile store: bounded host
             # RAM (one slab in flight) and the result is memmap-backed, so
             # streaming scans read tiles from disk, not RAM.
-            from .db.packing import pack_db_to_store
+            from .db.packing import pack_db_to_store, plan_buckets
 
+            # Pre-compute the streaming decision from the bucket plan (no
+            # packing required) so the transfer-pack sidecar builds inline
+            # with the store — one pass while each slab is hot in RAM,
+            # instead of a later full re-read of the raw tile file.
+            stream_codec = None
+            try:
+                plans = plan_buckets(
+                    np.asarray(db.lengths, np.int64), self.bucket_edges
+                )
+                padded = sum(
+                    (-(-(stop - start) // NS)) * L * NS
+                    for start, stop, L, NS, _ in plans
+                )
+                if padded > self._device_budget() * self._mesh_ndev():
+                    from .ops.pack5 import choose_codec
+
+                    stream_codec = choose_codec(
+                        os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"),
+                        int(self._pad),
+                    )
+            except (ValueError, TypeError):
+                pass  # unsorted/odd metadata: raw store build decides
             try:
                 self.packed = pack_db_to_store(
                     db, pack_cache, edges=self.bucket_edges,
-                    pad_code=self._pad,
+                    pad_code=self._pad, stream_codec=stream_codec,
                 )
             except OSError:
                 self.packed = None  # read-only db dir: cache is best-effort

@@ -236,3 +236,49 @@ def test_resident_prefix_packed_upload(tmp_path, rng, monkeypatch):
     assert eng._resident_chunks, "fixture should pin a prefix"
     b = eng.scan(query)
     assert a.scores == b.scores
+
+
+def test_store_builds_pack5_sidecar_inline(tmp_path, rng, monkeypatch):
+    """A streaming-bound set_database with a pack_cache builds the
+    transfer-pack sidecar inline with the tile store (one pass), and the
+    engine's lazy builder then validates and reuses it byte-for-byte."""
+    import json
+    import os as _os
+
+    from cudasw4_tpu.ops.pack5 import CODECS
+
+    recs = _random_records(rng, 200)
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    cache = str(tmp_path / "tilestore")
+
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "1")
+    eng = SearchEngine(
+        num_top=10, qcap=64, max_device_bytes=1024, stream_chunk_bytes=4096
+    )
+    eng.set_database(db, pack_cache=cache)
+    assert eng.streaming
+    man_path = _os.path.join(cache + ".pack5", "manifest.json")
+    assert _os.path.exists(man_path)
+    with open(man_path) as f:
+        man = json.load(f)
+    assert man["codec"] == "b32" and man["version"] == 2
+    assert len(man["buckets"]) == len(eng.packed.buckets)
+    # Sidecar bins must equal a direct pack of the raw tiles.
+    pack = CODECS["b32"][2]
+    for bi, b in enumerate(eng.packed.buckets):
+        if not b.num_tiles:
+            continue
+        got = np.fromfile(
+            _os.path.join(cache + ".pack5", f"b{bi}.bin"), np.int32
+        ).reshape(b.num_tiles, -1)
+        np.testing.assert_array_equal(got, pack(np.asarray(b.tiles)))
+    # ... and the engine must have adopted them as its stream pack.
+    assert eng._stream_pack is not None
+    # Scores match a resident engine.
+    res = SearchEngine(num_top=10, qcap=64)
+    res.set_database(db)
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+    assert res.scan(query).scores == eng.scan(query).scores
