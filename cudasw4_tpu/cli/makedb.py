@@ -5,6 +5,11 @@ Argument surface matches the reference makedb
 optional --mem limit and --tempdir: under a --mem cap the builder
 spills batches to temp files and concatenates (db/format.py
 make_db_capped), byte-identical to the unbounded path.
+
+Beyond the reference: --prepack builds the TPU tile store at db-build
+time (and, with --prepackStream <budget>, the streaming transfer-pack
+sidecar inline), moving the one-time pack cost out of the first align
+run.
 """
 
 from __future__ import annotations
@@ -21,6 +26,11 @@ Input file may be gzip'ed. pathtodb must exist.
 Options:
     --mem val : Memory limit. Can use suffix K,M,G.
     --tempdir val : Temp directory for temporary files. Must exist.
+    --prepack : Also build the TPU tile store now (one slab of RAM),
+        so the first align run loads instead of packing.
+    --prepackStream val : With --prepack, per-chip device-memory budget
+        (suffix K,M,G).  If the packed DB exceeds it, the streaming
+        transfer-pack sidecar is built inline in the same pass.
 """
 
 
@@ -32,6 +42,8 @@ def run(argv=None) -> int:
     input_path, prefix = argv[0], argv[1]
     mem = None
     tempdir = None
+    prepack = False
+    prepack_budget = None
     i = 2
     while i < len(argv):
         if argv[i] == "--mem":
@@ -40,6 +52,12 @@ def run(argv=None) -> int:
         elif argv[i] == "--tempdir":
             i += 1
             tempdir = argv[i]
+        elif argv[i] == "--prepack":
+            prepack = True
+        elif argv[i] == "--prepackStream":
+            i += 1
+            prepack = True
+            prepack_budget = parse_memory_string(argv[i])
         else:
             print(f"Unexpected arg {argv[i]}")
         i += 1
@@ -61,6 +79,38 @@ def run(argv=None) -> int:
     print(f"Number of input sequences:  {stats['num_sequences']}")
     print(f"Number of input characters: {stats['num_chars']}")
     print(f"TIMING: db creation: {dt:.6g} s")
+
+    if prepack:
+        # Same tile-store path align derives from the db prefix, so the
+        # first align run validates and loads instead of packing.
+        import os
+
+        import numpy as np
+
+        from ..db.format import load_db
+        from ..db.packing import pack_db_to_store, plan_buckets
+
+        t0 = time.perf_counter()
+        db = load_db(prefix)
+        stream_codec = None
+        if prepack_budget is not None:
+            plans = plan_buckets(np.asarray(db.lengths, np.int64))
+            padded = sum(
+                (-(-(stop - start) // NS)) * L * NS
+                for start, stop, L, NS, _ in plans
+            )
+            if padded > prepack_budget:
+                from ..ops.pack5 import choose_codec
+
+                stream_codec = choose_codec(
+                    os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"), 20
+                )
+        pack_db_to_store(
+            db, prefix + "0.tpupack.npz", stream_codec=stream_codec
+        )
+        dt = time.perf_counter() - t0
+        extra = " + transfer sidecar" if stream_codec else ""
+        print(f"TIMING: tile store{extra}: {dt:.6g} s")
     return 0
 
 

@@ -922,14 +922,19 @@ class SearchEngine:
     def _resident_codec(self) -> str | None:
         """Transfer codec for *resident* uploads (set_database /
         pinned-prefix device_puts, as opposed to per-scan streaming).
-        CUDASW4_TPU_RESIDENT_PACK: "1" b32 (default on accelerators),
-        "2" b21, "0" raw.  Defaults off on CPU, where host->device is a
-        memcpy and packing only adds work."""
+        CUDASW4_TPU_RESIDENT_PACK: "1" b32, "2" b21, "0" raw.
+
+        Default OFF: unlike the per-scan streaming path (where the codec
+        measured +8%..+98%), the one-time resident upload measured
+        *slower* packed on the tunneled v5e (tools/setdbbench.py best-of:
+        raw 12.2s vs b32 21.5s for 1M x 256) — the bulk jnp.asarray
+        transfer outruns the jit-input staging at these sizes.  Numerics
+        are identical either way (parity tests); re-measure per runtime
+        before flipping."""
         from .ops.pack5 import choose_codec
 
-        default = "0" if jax.devices()[0].platform == "cpu" else "1"
         return choose_codec(
-            os.environ.get("CUDASW4_TPU_RESIDENT_PACK", default),
+            os.environ.get("CUDASW4_TPU_RESIDENT_PACK", "0"),
             int(self._pad),
         )
 

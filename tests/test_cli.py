@@ -282,3 +282,48 @@ def test_align_tuning_flag(small_db, tmp_path, monkeypatch, capsys):
     ) == 0
     assert packing.CELL_SPEEDUP == 9.9
     packing.CELL_SPEEDUP = 1.75
+
+
+def test_makedb_prepack_builds_store_and_sidecar(tmp_path, rng, monkeypatch,
+                                                 capsys):
+    """--prepackStream builds the tile store + transfer sidecar at db
+    build time; align then loads it instead of packing and produces the
+    same output as a cold run."""
+    import os
+
+    recs = []
+    for i in range(15):
+        ln = int(rng.integers(5, 60))
+        recs.append((f"p{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    prefix = str(tmp_path / "db")
+    assert makedb_cli.run([fa, prefix, "--prepackStream", "1K"]) == 0
+    store = prefix + "0.tpupack.npz"
+    assert os.path.exists(store) and os.path.exists(store + ".tiles")
+    assert os.path.exists(os.path.join(store + ".pack5", "manifest.json"))
+    store_mtime = os.path.getmtime(store)
+
+    qf = str(tmp_path / "q.fa")
+    write_fasta(qf, [("q", "".join(AAS[c] for c in rng.integers(0, 20, 25)))])
+    out = str(tmp_path / "out.tsv")
+    rc = _run_align(
+        ["--query", qf, "--db", prefix, "--top", "5", "--of", out,
+         "--maxGpuMem", "1K"],
+        monkeypatch,
+    )
+    assert rc == 0
+    # align reused the prepacked store (no rebuild)
+    assert os.path.getmtime(store) == store_mtime
+
+    # cold run without the store must agree
+    for p in (store, store + ".tiles"):
+        os.remove(p)
+    out2 = str(tmp_path / "out2.tsv")
+    rc = _run_align(
+        ["--query", qf, "--db", prefix, "--top", "5", "--of", out2,
+         "--maxGpuMem", "1K"],
+        monkeypatch,
+    )
+    assert rc == 0
+    assert open(out).read() == open(out2).read()
