@@ -238,7 +238,9 @@ def test_resident_prefix_packed_upload(tmp_path, rng, monkeypatch):
     assert a.scores == b.scores
 
 
-def test_store_builds_pack5_sidecar_inline(tmp_path, rng, monkeypatch):
+@pytest.mark.parametrize("mode,codec", [("1", "b32"), ("2", "b21")])
+def test_store_builds_pack5_sidecar_inline(tmp_path, rng, monkeypatch,
+                                           mode, codec):
     """A streaming-bound set_database with a pack_cache builds the
     transfer-pack sidecar inline with the tile store (one pass), and the
     engine's lazy builder then validates and reuses it byte-for-byte."""
@@ -254,7 +256,7 @@ def test_store_builds_pack5_sidecar_inline(tmp_path, rng, monkeypatch):
     db = load_db(str(tmp_path / "db"))
     cache = str(tmp_path / "tilestore")
 
-    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", "1")
+    monkeypatch.setenv("CUDASW4_TPU_STREAM_PACK", mode)
     eng = SearchEngine(
         num_top=10, qcap=64, max_device_bytes=1024, stream_chunk_bytes=4096
     )
@@ -264,10 +266,10 @@ def test_store_builds_pack5_sidecar_inline(tmp_path, rng, monkeypatch):
     assert _os.path.exists(man_path)
     with open(man_path) as f:
         man = json.load(f)
-    assert man["codec"] == "b32" and man["version"] == 2
+    assert man["codec"] == codec and man["version"] == 2
     assert len(man["buckets"]) == len(eng.packed.buckets)
     # Sidecar bins must equal a direct pack of the raw tiles.
-    pack = CODECS["b32"][2]
+    pack = CODECS[codec][2]
     for bi, b in enumerate(eng.packed.buckets):
         if not b.num_tiles:
             continue
