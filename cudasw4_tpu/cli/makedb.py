@@ -46,6 +46,11 @@ def run(argv=None) -> int:
     prepack_budget = None
     i = 2
     while i < len(argv):
+        takes_value = argv[i] in ("--mem", "--tempdir", "--prepackStream")
+        if takes_value and i + 1 >= len(argv):
+            print(f"Missing value for {argv[i]}")
+            print(USAGE)
+            return 1
         if argv[i] == "--mem":
             i += 1
             mem = parse_memory_string(argv[i])
@@ -87,11 +92,19 @@ def run(argv=None) -> int:
 
         import numpy as np
 
+        from ..constants import UNKNOWN
         from ..db.format import load_db
-        from ..db.packing import pack_db_to_store, plan_buckets
+        from ..db.packing import (
+            _packed_layout,
+            pack_db_to_store,
+            plan_buckets,
+            stream_manifest,
+            stream_sidecar_fresh,
+        )
 
         t0 = time.perf_counter()
         db = load_db(prefix)
+        store_path = prefix + "0.tpupack.npz"
         stream_codec = None
         if prepack_budget is not None:
             plans = plan_buckets(np.asarray(db.lengths, np.int64))
@@ -102,15 +115,33 @@ def run(argv=None) -> int:
             if padded > prepack_budget:
                 from ..ops.pack5 import choose_codec
 
+                # One source of truth for the padding code: the same
+                # UNKNOWN passed to pack_db_to_store below (codec choice
+                # must see the pad the manifest will record).
                 stream_codec = choose_codec(
-                    os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"), 20
+                    os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"),
+                    int(UNKNOWN),
                 )
-        pack_db_to_store(
-            db, prefix + "0.tpupack.npz", stream_codec=stream_codec
+        store = pack_db_to_store(
+            db, store_path, pad_code=UNKNOWN, stream_codec=stream_codec
         )
         dt = time.perf_counter() - t0
-        extra = " + transfer sidecar" if stream_codec else ""
+        # Report the sidecar only when it actually exists and validates
+        # (the build is best-effort; a matching prior store may also have
+        # satisfied the request via build_stream_sidecar).
+        wrote_sidecar = stream_codec is not None and stream_sidecar_fresh(
+            store_path,
+            stream_manifest(
+                stream_codec, int(UNKNOWN), store.num_sequences,
+                store.total_real_chars, _packed_layout(store),
+            ),
+        )
+        extra = " + transfer sidecar" if wrote_sidecar else ""
         print(f"TIMING: tile store{extra}: {dt:.6g} s")
+        if stream_codec is not None and not wrote_sidecar:
+            print("NOTE: transfer sidecar was not written (directory "
+                  "not writable?); the first streaming align will build "
+                  "it lazily")
     return 0
 
 

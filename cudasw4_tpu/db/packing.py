@@ -466,6 +466,102 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int,
         return None
 
 
+def stream_manifest(codec: str, pad_code: int, num_sequences: int,
+                    total_chars: int, layout) -> dict:
+    """The transfer-pack sidecar manifest (single source of truth for
+    the three places that write or validate it: pack_db_to_store's
+    inline build, build_stream_sidecar, and the engine's lazy
+    _build_stream_pack).  ``layout``: iterable of (L, NS, kernel, T)."""
+    from ..ops import pack5 as p5
+
+    words_for = p5.CODECS[codec][1]
+    return {
+        "version": 2,
+        "codec": codec,
+        "pad": int(pad_code),
+        "num_sequences": int(num_sequences),
+        "total_chars": int(total_chars),
+        "buckets": [
+            {
+                "L": int(L), "NS": int(NS), "kernel": kernel,
+                "T": int(T), "W": int(words_for(L * NS)),
+            }
+            for L, NS, kernel, T in layout
+        ],
+    }
+
+
+def _packed_layout(packed: PackedDB):
+    return [(b.L, b.NS, b.kernel, b.num_tiles) for b in packed.buckets]
+
+
+def stream_sidecar_fresh(path: str, manifest: dict) -> bool:
+    """True if <path>.pack5/manifest.json matches ``manifest`` (i.e. the
+    transfer-pack sidecar is present and valid for this store)."""
+    import json
+
+    try:
+        with open(os.path.join(path + ".pack5", "manifest.json")) as f:
+            return json.load(f) == manifest
+    except (OSError, ValueError):
+        return False
+
+
+def build_stream_sidecar(
+    packed: PackedDB, path: str, stream_codec: str,
+    pad_code: int = UNKNOWN, slab_tiles: int = 64,
+) -> bool:
+    """Build the ``<path>.pack5/`` transfer-pack sidecar from an existing
+    (memmap-backed) tile store in one bounded-RAM sequential pass —
+    the recovery path when the store itself is fresh but the sidecar is
+    missing or stale (e.g. makedb ran --prepack first, --prepackStream
+    later).  Returns True when the sidecar was written; False on an
+    unwritable directory (best-effort, matching the inline build)."""
+    import json
+
+    from ..ops import pack5 as p5
+
+    _cpw, words_for, s_pack = p5.CODECS[stream_codec][:3]
+    if int(pad_code) > p5.CODECS[stream_codec][5]:
+        raise ValueError(
+            f"pad code {pad_code} exceeds codec {stream_codec}"
+        )
+    sidecar = path + ".pack5"
+    man_path = os.path.join(sidecar, "manifest.json")
+    try:
+        os.makedirs(sidecar, exist_ok=True)
+        # Invalidate before touching data files (interrupted builds must
+        # never leave a manifest that validates mixed-layout data).
+        try:
+            os.remove(man_path)
+        except FileNotFoundError:
+            pass
+        for bi, b in enumerate(packed.buckets):
+            T = b.num_tiles
+            if T == 0:
+                continue  # loaders skip T==0 buckets without a file
+            W = words_for(b.L * b.NS)
+            mm = np.memmap(
+                os.path.join(sidecar, f"b{bi}.bin"), np.int32,
+                mode="w+", shape=(T, W),
+            )
+            for t0 in range(0, T, slab_tiles):
+                t1 = min(t0 + slab_tiles, T)
+                s_pack(np.ascontiguousarray(b.tiles[t0:t1]), out=mm[t0:t1])
+            del mm
+        manifest = stream_manifest(
+            stream_codec, pad_code, packed.num_sequences,
+            packed.total_real_chars, _packed_layout(packed),
+        )
+        mtmp = os.path.join(sidecar, f"manifest.tmp.{os.getpid()}")
+        with open(mtmp, "w") as mf:
+            json.dump(manifest, mf)
+        os.replace(mtmp, man_path)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def pack_db_to_store(
     db, path: str, edges=None, slab_tiles: int = 64,
     use_native: bool = True, pad_code: int = UNKNOWN,
@@ -541,9 +637,23 @@ def pack_db_to_store(
         prior = load_packed(
             path, n, int(lengths.sum()), expect_pad=pad_code
         )
-        if prior is not None and [
-            (b.L, b.NS, b.kernel, b.num_tiles) for b in prior.buckets
-        ] == want_layout:
+        if prior is not None and _packed_layout(prior) == want_layout:
+            # A matching prior store may still lack the requested
+            # transfer-pack sidecar (e.g. it was built without a
+            # stream_codec).  Build it from the prior's memmap tiles —
+            # one bounded-RAM pass — instead of silently skipping it and
+            # leaving the first streaming align to re-read the whole raw
+            # tile file lazily.
+            if stream_codec is not None:
+                manifest = stream_manifest(
+                    stream_codec, pad_code, n, int(lengths.sum()),
+                    _packed_layout(prior),
+                )
+                if not stream_sidecar_fresh(path, manifest):
+                    build_stream_sidecar(
+                        prior, path, stream_codec, pad_code=pad_code,
+                        slab_tiles=slab_tiles,
+                    )
             return prior
         # Inline transfer-pack sidecar (same layout + manifest the engine's
         # _build_stream_pack writes/validates: <path>.pack5/b{i}.bin per
@@ -622,21 +732,13 @@ def pack_db_to_store(
             # an invalid (rebuildable) sidecar, never a lying one.
             import json
 
-            manifest = {
-                "version": 2,
-                "codec": stream_codec,
-                "pad": int(pad_code),
-                "num_sequences": int(n),
-                "total_chars": int(lengths.sum()),
-                "buckets": [
-                    {
-                        "L": int(L), "NS": int(NS), "kernel": kernel,
-                        "T": int(-(-(stop - start) // NS)),
-                        "W": int(s_words(L * NS)),
-                    }
+            manifest = stream_manifest(
+                stream_codec, pad_code, n, int(lengths.sum()),
+                [
+                    (L, NS, kernel, -(-(stop - start) // NS))
                     for start, stop, L, NS, kernel in plans
                 ],
-            }
+            )
             try:
                 mtmp = os.path.join(sidecar, f"manifest.tmp.{os.getpid()}")
                 with open(mtmp, "w") as mf:

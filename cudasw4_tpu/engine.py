@@ -1446,24 +1446,16 @@ class SearchEngine:
         _cpw, words_for, pack, _uj, _un, maxc = p5.CODECS[codec]
         assert int(self._pad) <= maxc, (codec, self._pad)
         buckets = self.packed.buckets
-        expect = {
-            "version": 2,
-            "codec": codec,
-            "pad": int(self._pad),
-            "num_sequences": int(self.db.num_sequences),
-            # Total residues distinguishes DBs whose bucket geometry
-            # happens to coincide (same validation pair as the main tile
-            # cache, db/packing.py load_packed).
-            "total_chars": int(np.asarray(self.db.lengths, np.int64).sum()),
-            "buckets": [
-                {
-                    "L": int(b.L), "NS": int(b.NS), "kernel": b.kernel,
-                    "T": int(b.num_tiles),
-                    "W": words_for(int(np.prod(b.tiles.shape[1:]))),
-                }
-                for b in buckets
-            ],
-        }
+        # Total residues distinguishes DBs whose bucket geometry happens
+        # to coincide (same validation pair as the main tile cache,
+        # db/packing.py load_packed).
+        from .db.packing import _packed_layout, stream_manifest
+
+        expect = stream_manifest(
+            codec, int(self._pad), int(self.db.num_sequences),
+            int(np.asarray(self.db.lengths, np.int64).sum()),
+            _packed_layout(self.packed),
+        )
         sidecar = pack_cache + ".pack5" if pack_cache else None
         fresh = False
         if sidecar:

@@ -327,3 +327,70 @@ def test_makedb_prepack_builds_store_and_sidecar(tmp_path, rng, monkeypatch,
     )
     assert rc == 0
     assert open(out).read() == open(out2).read()
+
+
+def test_makedb_prepack_then_prepackstream_builds_sidecar(tmp_path, rng,
+                                                          capsys):
+    """--prepack first, --prepackStream later: the second run must reuse
+    the matching prior store AND build the missing transfer sidecar from
+    its memmap tiles (advisor round-2 finding: the early `return prior`
+    silently skipped it), and report the sidecar only when written."""
+    import os
+
+    recs = []
+    for i in range(15):
+        ln = int(rng.integers(5, 60))
+        recs.append((f"p{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    prefix = str(tmp_path / "db")
+    assert makedb_cli.run([fa, prefix, "--prepack"]) == 0
+    first = capsys.readouterr().out
+    assert "transfer sidecar" not in first
+    store = prefix + "0.tpupack.npz"
+    assert os.path.exists(store)
+    assert not os.path.exists(os.path.join(store + ".pack5", "manifest.json"))
+    tiles_mtime = os.path.getmtime(store + ".tiles")
+
+    assert makedb_cli.run([fa, prefix, "--prepackStream", "1K"]) == 0
+    second = capsys.readouterr().out
+    assert "+ transfer sidecar" in second
+    assert os.path.exists(os.path.join(store + ".pack5", "manifest.json"))
+    # the store itself was reused, not rebuilt
+    assert os.path.getmtime(store + ".tiles") == tiles_mtime
+
+    # the sidecar validates against the engine's streaming manifest
+    from cudasw4_tpu.constants import UNKNOWN
+    from cudasw4_tpu.db.format import load_db
+    from cudasw4_tpu.db.packing import (
+        _packed_layout,
+        load_packed,
+        stream_manifest,
+        stream_sidecar_fresh,
+    )
+    from cudasw4_tpu.ops.pack5 import choose_codec
+
+    db = load_db(prefix)
+    packed = load_packed(
+        store, db.num_sequences, int(db.lengths.sum()), expect_pad=UNKNOWN
+    )
+    codec = choose_codec("1", int(UNKNOWN))
+    assert stream_sidecar_fresh(
+        store,
+        stream_manifest(
+            codec, int(UNKNOWN), packed.num_sequences,
+            packed.total_real_chars, _packed_layout(packed),
+        ),
+    )
+
+
+def test_makedb_value_flag_missing_value(tmp_path, rng, capsys):
+    """A value-taking flag given last prints USAGE and fails cleanly
+    instead of raising IndexError (advisor round-2 finding)."""
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, [("p0", "".join(AAS[c] for c in rng.integers(0, 20, 30)))])
+    prefix = str(tmp_path / "db")
+    for flag in ("--prepackStream", "--mem", "--tempdir"):
+        assert makedb_cli.run([fa, prefix, flag]) == 1
+        out = capsys.readouterr().out
+        assert "Missing value" in out and "Usage" in out
