@@ -219,6 +219,9 @@ def run(argv=None) -> int:
             (1 << 62) if opts["upload_full"] else opts["max_gpu_mem"]
         ),
         stream_chunk_bytes=opts["max_batch_bytes"],
+        # --maxBatchSequences caps the sequence slots per streamed chunk,
+        # the second axis of the reference's copy plan (options.cpp:121).
+        max_batch_sequences=opts["max_batch_sequences"],
         verbose=opts["verbose"],
     )
     # Kernel-type selection (reference KernelTypeConfig, options.cpp:154-200

@@ -83,6 +83,7 @@ class SearchEngine:
         mesh=None,
         max_device_bytes: int | None = None,
         stream_chunk_bytes: int = 256 << 20,
+        max_batch_sequences: int | None = None,
         verbose: bool = False,
     ):
         self.scoring = scoring or make_scoring_config("blosum62")
@@ -92,6 +93,7 @@ class SearchEngine:
         self.mesh = mesh  # jax.sharding.Mesh for DB-sharded multi-chip scans
         self.max_device_bytes = max_device_bytes
         self.stream_chunk_bytes = stream_chunk_bytes
+        self.max_batch_sequences = max_batch_sequences
         self.streaming = False
         # int16 DP state + overflow escalation (the reference's dpx_s16
         # model).  Off by default: on v5e the i16<->i32 pack/unpack costs
@@ -801,10 +803,20 @@ class SearchEngine:
             encode(s) if isinstance(s, (str, bytes)) else np.asarray(s, np.int8)
             for s in sequences
         ]
-        assert len(group) <= self._qb_cap
+        if len(group) > self._qb_cap:
+            raise ValueError(
+                f"scan_batch takes at most {self._qb_cap} queries per "
+                f"call (got {len(group)}); use scan_many for larger sets"
+            )
         if self.streaming:
             return self._scan_streaming_batch(group)
-        assert all(len(c) <= self._qcap_batch for c in group)
+        too_long = [len(c) for c in group if len(c) > self._qcap_batch]
+        if too_long:
+            raise ValueError(
+                f"scan_batch queries must be <= {self._qcap_batch} "
+                f"residues on a resident DB (got {max(too_long)}); use "
+                "scan() / scan_many for longer queries"
+            )
         t0 = time.perf_counter()
         vals, ids = self._dispatch_batch(group)
         return self._materialize_batch(vals, ids, group, t0)
@@ -993,9 +1005,16 @@ class SearchEngine:
 
     def _chunk_tiles(self, b, ndev: int) -> int:
         """Tiles per streamed chunk for one bucket (fixed shape; multiple
-        of the mesh size so chunks shard evenly)."""
+        of the mesh size so chunks shard evenly).  Chunks are capped by
+        bytes (--maxBatchBytes -> stream_chunk_bytes) AND by sequence
+        slots (--maxBatchSequences -> max_batch_sequences), mirroring
+        the reference's greedy copy plan, which packs batches up to
+        maxBatchBytes/maxBatchSequences whichever binds first
+        (/root/reference/src/cudasw4.cuh:1177-1277, options.cpp:121)."""
         bytes_per_tile = b.L * b.NS
         ct = max(1, self.stream_chunk_bytes // bytes_per_tile)
+        if self.max_batch_sequences is not None:
+            ct = min(ct, max(1, self.max_batch_sequences // b.NS))
         ct = max(ndev, ct // ndev * ndev)
         return min(ct, _round_up(b.num_tiles, ndev))
 

@@ -152,6 +152,47 @@ def test_streaming_mode_matches_resident(tmp_path, rng):
         assert s1 == s2
 
 
+def test_max_batch_sequences_caps_chunks(rng):
+    """--maxBatchSequences caps the sequence slots per streamed chunk
+    (the second axis of the reference's copy plan, options.cpp:121,
+    cudasw4.cuh:1177-1277): a cap changes the observable chunk shapes
+    and results stay identical."""
+    db = pseudo_to_dbdata(make_pseudo_db(600, 24))
+
+    def chunk_shapes(**kw):
+        eng = SearchEngine(
+            num_top=5, qcap=64, max_device_bytes=1024,
+            stream_chunk_bytes=1 << 20, **kw,
+        )
+        eng.set_database(db)
+        assert eng.streaming
+        shapes = [chunk.shape for _b, chunk, _s in eng._stream_chunks()]
+        return eng, shapes
+
+    uncapped_eng, uncapped = chunk_shapes()
+    # One bucket of 600 seqs at NS>=128: a 256-slot cap must split it.
+    capped_eng, capped = chunk_shapes(max_batch_sequences=256)
+    assert len(capped) > len(uncapped)
+    ns = capped_eng.packed.buckets[0].NS
+    assert all(s[0] * ns <= 256 for s in capped)
+
+    query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
+    a = uncapped_eng.scan(query)
+    b = capped_eng.scan(query)
+    assert a.scores == b.scores
+
+
+def test_scan_batch_rejects_invalid_inputs(rng):
+    """scan_batch raises ValueError (not assert: must survive python -O)
+    on oversized groups and over-capacity queries."""
+    engine = SearchEngine(num_top=2, qcap=32)
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(5, 20)))
+    with pytest.raises(ValueError, match="at most"):
+        engine.scan_batch(["ARNDC"] * (engine._qb_cap + 1))
+    with pytest.raises(ValueError, match="residues"):
+        engine.scan_batch(["W" * (engine._qcap_batch + 1)])
+
+
 def test_streaming_long_query(rng):
     engine = SearchEngine(
         num_top=2, qcap=32, max_device_bytes=1024, stream_chunk_bytes=4096
