@@ -100,10 +100,20 @@ class SearchEngine:
         # more than the halved VMEM traffic saves (measured 1.45x slower);
         # kept as an opt-in experiment for other TPU generations.
         self.state16 = os.environ.get("CUDASW4_TPU_STATE16", "0") == "1"
-        # Re-score every scan's top-N on the CPU oracle (the analog of the
-        # reference's -DCUDASW_DEBUG_CHECK_CORRECTNESS build,
-        # /root/reference/src/cudasw4.cuh:728-756).
-        self.debug_check = os.environ.get("CUDASW4_TPU_DEBUG_CHECK", "0") == "1"
+        # CPU-oracle verifier (the analog of the reference's
+        # -DCUDASW_DEBUG_CHECK_CORRECTNESS build,
+        # /root/reference/src/cudasw4.cuh:728-756):
+        #   CUDASW4_TPU_DEBUG_CHECK=1    re-score each scan's top-N on the
+        #                                scalar oracle (usable on real DBs);
+        #   CUDASW4_TPU_DEBUG_CHECK=full diff EVERY database score against
+        #                                the vectorized oracle, forcing
+        #                                num_top to the DB size exactly like
+        #                                the reference (cudasw4.cuh:881-887).
+        dc = os.environ.get("CUDASW4_TPU_DEBUG_CHECK", "0")
+        self.debug_check = (
+            None if dc in ("", "0") else
+            ("full" if dc.lower() == "full" else "top")
+        )
         # Below this many tile bytes a raw transfer beats the
         # pack+unpack round trip (tests lower it to cover the packed
         # resident path on tiny fixtures).
@@ -142,6 +152,10 @@ class SearchEngine:
         to it after packing (pack once per database, not per process)."""
         t0 = time.perf_counter()
         self.db = db
+        if self.debug_check == "full" and self.num_top < db.num_sequences:
+            # The reference's debug build forces numTop to the DB size so
+            # the comparison covers every score (cudasw4.cuh:881-887).
+            self.num_top = int(db.num_sequences)
         self._batch_scan_fn = None
         self.streaming = False
         self.packed = None
@@ -558,7 +572,9 @@ class SearchEngine:
         """Re-score the top-N hits with the scalar CPU oracle and assert
         equality (CUDASW4_TPU_DEBUG_CHECK=1; the reference re-scores the
         whole DB under CUDASW_DEBUG_CHECK_CORRECTNESS — top-N keeps this
-        usable on real databases)."""
+        usable on real databases.  =full diffs every score instead)."""
+        if self.debug_check == "full":
+            return self._debug_check_full(codes, result)
         from .ops.oracle import sw_score_scalar
 
         for score, ref in zip(result.scores, result.reference_ids):
@@ -571,6 +587,50 @@ class SearchEngine:
                     f"debug check failed: refId {ref} scored {score}, "
                     f"oracle says {want}"
                 )
+
+    def _debug_check_full(self, codes, result: ScanResult) -> None:
+        """Diff EVERY database score against the vectorized CPU oracle
+        (CUDASW4_TPU_DEBUG_CHECK=full), the exact analog of the
+        reference's computeAllScoresCPU_blosum62 comparison
+        (/root/reference/src/cudasw4.cuh:728-756).  set_database forced
+        num_top to the DB size, so the result carries one (score, id)
+        per sequence; a mismatch anywhere — top-N or not — fails."""
+        from .ops.oracle import sw_score_rowvec
+
+        n = self.packed.num_sequences
+        ids = np.asarray(result.reference_ids, dtype=np.int64)
+        if len(result.scores) != n or len(np.unique(ids)) != n:
+            raise AssertionError(
+                f"full debug check expects one result per sequence: got "
+                f"{len(result.scores)} results / {len(np.unique(ids))} "
+                f"distinct ids for {n} sequences"
+            )
+        got = np.zeros(n, dtype=np.int64)
+        got[ids] = np.asarray(result.scores, dtype=np.int64)
+        lengths = np.asarray(self.db.lengths, dtype=np.int64)
+        want = np.zeros(n, dtype=np.int64)
+        chunk = 256  # equal-padded batches for the row oracle
+        for a in range(0, n, chunk):
+            b = min(a + chunk, n)
+            lmax = max(1, int(lengths[a:b].max()))
+            subs = np.full((b - a, lmax), self._pad, dtype=np.int8)
+            for i in range(a, b):
+                s = self.db.get_sequence(i)
+                subs[i - a, : len(s)] = s
+            want[a:b] = sw_score_rowvec(
+                codes, subs, self.scoring.matrix,
+                self.scoring.gop, self.scoring.gex,
+            )
+        bad = np.nonzero(got != want)[0]
+        if bad.size:
+            head = ", ".join(
+                f"refId {i}: got {got[i]}, oracle {want[i]}"
+                for i in bad[:5]
+            )
+            raise AssertionError(
+                f"full debug check failed for {bad.size}/{n} sequences: "
+                f"{head}"
+            )
 
     def _has_overflow(self, vals) -> bool:
         return (

@@ -203,6 +203,61 @@ def test_streaming_long_query(rng):
     assert len(result.scores) == 2
 
 
+def test_debug_check_full_catches_non_topn_mismatch(tmp_path, rng,
+                                                    monkeypatch):
+    """CUDASW4_TPU_DEBUG_CHECK=full re-scores the ENTIRE database on the
+    vectorized oracle (the reference's computeAllScoresCPU comparison,
+    cudasw4.cuh:728-756) and must catch a planted kernel bug on a
+    sequence outside the user's top-N — which the top-N check
+    (DEBUG_CHECK=1) passes right over."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cudasw4_tpu.db.fasta import write_fasta as _wf
+
+    # 12 A-rich high scorers + 4 all-W low scorers (query is all-A, and
+    # blosum62 A/W = -3, so the W sequences score 0 and sit far outside
+    # any small top-N).
+    recs = [(f"a{i}", "A" * (20 + i)) for i in range(12)]
+    recs += [(f"w{i}", "W" * 30) for i in range(4)]
+    fa = str(tmp_path / "db.fa")
+    _wf(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    query = "A" * 24
+
+    def plant_bug(engine):
+        # Engine-side (device) matrices only: A-vs-W becomes +2, so the
+        # all-W sequences score ~48 in the kernel while the CPU oracle
+        # still says 0.  A-only sequences are untouched (top-N intact).
+        m = np.asarray(engine._matrix_f32).copy()
+        m[0, 17] += 5  # A x W
+        m[17, 0] += 5
+        engine._matrix_f32 = jnp.asarray(m)
+        engine._matrix_flat = jnp.asarray(m.astype(np.int32).reshape(-1))
+
+    monkeypatch.setenv("CUDASW4_TPU_DEBUG_CHECK", "1")
+    topn = SearchEngine(num_top=3, qcap=64)
+    topn.set_database(db)
+    plant_bug(topn)
+    res = topn.scan(query)  # top-3 are A-sequences: check passes
+    assert len(res.scores) == 3
+
+    monkeypatch.setenv("CUDASW4_TPU_DEBUG_CHECK", "full")
+    full = SearchEngine(num_top=3, qcap=64)
+    full.set_database(db)
+    assert full.num_top == db.num_sequences  # forced like the reference
+    plant_bug(full)
+    with pytest.raises(AssertionError, match="full debug check failed"):
+        full.scan(query)
+
+    # and a clean engine passes the full check
+    clean = SearchEngine(num_top=3, qcap=64)
+    clean.set_database(db)
+    ok = clean.scan(query)
+    assert len(ok.scores) == db.num_sequences
+
+
 def test_empty_database(rng):
     """Zero-sequence DB: scans return empty results without errors."""
     from cudasw4_tpu.db.format import DBData
