@@ -350,14 +350,23 @@ class SearchEngine:
         @functools.partial(jax.jit, static_argnames=("exact",))
         def scan_fn(qpad, params, bucket_tiles, valid, flat_idx, mat_flat,
                     mat_f32, exact=False):
-            parts = [
-                score_bucket(
+            parts = []
+            tmaxes = []
+            for tiles, kind in zip(bucket_tiles, kinds):
+                s = score_bucket(
                     tiles, qpad, mat_flat, mat_f32, params, use_pallas,
                     kind, exact=exact,
-                ).reshape(-1)
-                for tiles, kind in zip(bucket_tiles, kinds)
-            ]
-            return topk(parts, valid, flat_idx)
+                )
+                parts.append(s.reshape(-1))
+                if not exact:
+                    # Per-tile max: >= SAT marks the tile as holding a
+                    # saturated int16 score — the overflow *set* the
+                    # exact pass re-scores (the reference records
+                    # overflowed ids, float_kernels.cuh:1189-1260; our
+                    # re-dispatch granule is the tile).
+                    tmaxes.append(jnp.max(s, axis=1))
+            vals, ids = topk(parts, valid, flat_idx)
+            return vals, ids, tuple(tmaxes)
 
         @functools.partial(jax.jit, static_argnames=("exact",))
         def noncol_fn(qpad, params, tiles_tuple, mat_flat, mat_f32,
@@ -366,7 +375,7 @@ class SearchEngine:
                 score_bucket(
                     tiles, qpad, mat_flat, mat_f32, params, use_pallas,
                     kind, exact=exact,
-                ).reshape(-1)
+                )
                 for tiles, kind in zip(
                     tiles_tuple, [kd for kd in kinds if kd != "col"]
                 )
@@ -400,21 +409,24 @@ class SearchEngine:
                 from .ops import INTERPRET
 
                 parts = []
+                tmaxes = []
                 for tiles, kd in zip(self._bucket_tiles, kinds):
                     if kd == "col":
-                        parts.append(
-                            sw_pallas_col.score_bucket_col_any_query(
-                                tiles, codes, self._matrix_flat,
-                                self.scoring.gop, self.scoring.gex,
-                                exact=exact, interpret=INTERPRET,
-                                pad=self._pad,
-                            ).reshape(-1)
+                        s = sw_pallas_col.score_bucket_col_any_query(
+                            tiles, codes, self._matrix_flat,
+                            self.scoring.gop, self.scoring.gex,
+                            exact=exact, interpret=INTERPRET,
+                            pad=self._pad,
                         )
                     else:
-                        parts.append(next(noncol_parts))
-                return finish_fn(
+                        s = next(noncol_parts)
+                    parts.append(s.reshape(-1))
+                    if not exact:
+                        tmaxes.append(jnp.max(s, axis=1))
+                vals, ids = finish_fn(
                     tuple(parts), self._valid, self._flat_idx
                 )
+                return vals, ids, tuple(tmaxes) if not exact else None
             return scan_fn(
                 qpad,
                 params,
@@ -476,19 +488,23 @@ class SearchEngine:
                     fns[key] = sh.build_sharded_scan_chunked(
                         mesh, kds, use_pallas, k, len(qchunks), exact=exact
                     )
-                return fns[key](
+                vals, ids = fns[key](
                     qchunks, pcs, qpad, params, tiles, seq_idx,
                     self._matrix_flat, self._matrix_f32,
                 )
+                # Mesh scans expose no per-tile saturation info; overflow
+                # falls back to a full exact re-scan (tmaxes=None).
+                return vals, ids, None
             key = (kds, exact)
             if key not in fns:
                 fns[key] = sh.build_sharded_scan(
                     mesh, kds, use_pallas, k, exact=exact
                 )
-            return fns[key](
+            vals, ids = fns[key](
                 qpad, params, tiles, seq_idx,
                 self._matrix_flat, self._matrix_f32,
             )
+            return vals, ids, None
 
         return run
 
@@ -530,7 +546,7 @@ class SearchEngine:
         )
         t0 = time.perf_counter()
         overflows = 0
-        vals, ids = self._scan_fn(
+        vals, ids, tmaxes = self._scan_fn(
             qpad, params, codes=codes, exact=not self.state16
         )
         # Materialize to host before stopping the clock: on tunneled
@@ -538,17 +554,23 @@ class SearchEngine:
         vals = np.asarray(vals)
         ids = np.asarray(ids)
         if self._has_overflow(vals):
-            # 16-bit DP state saturated somewhere: re-scan with exact
-            # int32 state (the reference's overflow escalation,
-            # cudasw4.cuh:2117-2186 — ours re-runs the whole scan
-            # because overflows are rare and the exact path is only
-            # ~1.6x slower).
+            # 16-bit DP state saturated somewhere: re-score the overflow
+            # SET — only the tiles whose max flagged saturation — with
+            # exact int32 state and merge (the reference re-launches
+            # 32-bit kernels over just the recorded overflow ids,
+            # cudasw4.cuh:2117-2186, float_kernels.cuh:1189-1260).  Mesh
+            # scans (tmaxes None) re-run the whole scan instead.
             overflows = int((vals >= sw_pallas_cell.SAT).sum())
-            vals, ids = self._scan_fn(
-                qpad, params, codes=codes, exact=True
-            )
-            vals = np.asarray(vals)
-            ids = np.asarray(ids)
+            if tmaxes is not None:
+                vals, ids = self._rescore_overflow(
+                    tmaxes, vals, ids, qpad, params, codes
+                )
+            else:
+                vals, ids, _ = self._scan_fn(
+                    qpad, params, codes=codes, exact=True
+                )
+                vals = np.asarray(vals)
+                ids = np.asarray(ids)
         seconds = time.perf_counter() - t0
         k = self.results_per_query
         vals, ids = vals[:k], ids[:k]
@@ -587,6 +609,65 @@ class SearchEngine:
                     f"debug check failed: refId {ref} scored {score}, "
                     f"oracle says {want}"
                 )
+
+    def _rescore_overflow(self, tmaxes, vals, ids, qpad, params, codes):
+        """Exact-int32 re-score of ONLY the saturated tiles, merged into
+        the fast pass's top-k (the analog of the reference's overflow
+        reprocessing, which re-launches 32-bit kernels over just the
+        recorded overflow ids — /root/reference/src/cudasw4.cuh:2117-2186,
+        float_kernels.cuh:1189-1260; our re-dispatch granule is the
+        4096-subject tile carrying the flag).
+
+        Merge correctness: an exact score of a saturated subject is
+        >= SAT, and every non-saturated score is < SAT, so the true
+        top-k is (exact scores of subjects in saturated tiles) merged
+        with the fast top-k minus entries from those tiles.  Saturated
+        entries can only displace the *tail* of the fast top-k, which
+        is exactly what re-sorting the union reproduces."""
+        from .ops import INTERPRET
+
+        use_pallas = self.backend == "pallas"
+        nq_pad = int(params[3])
+        qdev = jnp.asarray(qpad)
+        pdev = jnp.asarray(params)
+        cand_v: list[np.ndarray] = []
+        cand_i: list[np.ndarray] = []
+        for b, tiles, tmax in zip(
+            self.packed.buckets, self._bucket_tiles, tmaxes
+        ):
+            sel = np.nonzero(np.asarray(tmax) >= sw_pallas_cell.SAT)[0]
+            if sel.size == 0:
+                continue
+            sub = jnp.take(tiles, jnp.asarray(sel), axis=0)
+            if (
+                use_pallas
+                and b.kernel == "col"
+                and nq_pad > sw_pallas_col.NQC
+            ):
+                s = sw_pallas_col.score_bucket_col_any_query(
+                    sub, codes, self._matrix_flat,
+                    self.scoring.gop, self.scoring.gex,
+                    exact=True, interpret=INTERPRET, pad=self._pad,
+                )
+            else:
+                s = score_bucket(
+                    sub, qdev, self._matrix_flat, self._matrix_f32,
+                    pdev, use_pallas, bucket_kind(b, nq_pad=nq_pad),
+                    exact=True,
+                )
+            sidx = np.asarray(b.seq_index[sel]).reshape(-1)
+            s = np.asarray(s).reshape(-1)
+            keep = sidx >= 0
+            cand_v.append(s[keep].astype(np.float32))
+            cand_i.append(sidx[keep])
+        if not cand_v:  # defensive: flag without a flagged tile
+            return vals, ids
+        sat_i = np.concatenate(cand_i)
+        keep = ~np.isin(np.asarray(ids), sat_i)
+        allv = np.concatenate([np.asarray(vals)[keep]] + cand_v)
+        alli = np.concatenate([np.asarray(ids)[keep]] + cand_i)
+        order = np.lexsort((alli, -allv))[: len(vals)]
+        return allv[order], alli[order]
 
     def _debug_check_full(self, codes, result: ScanResult) -> None:
         """Diff EVERY database score against the vectorized CPU oracle
@@ -910,17 +991,22 @@ class SearchEngine:
             if entry[0] == "batch":
                 _, vals, ids, group, t0 = entry
                 return self._materialize_batch(vals, ids, group, t0)
-            _, vals, ids, nq, t0, qpad, params, codes = entry
+            _, vals, ids, tmaxes, nq, t0, qpad, params, codes = entry
             vals = np.asarray(vals)
             ids = np.asarray(ids)
             overflows = 0
             if self._has_overflow(vals):
                 overflows = int((vals >= sw_pallas_cell.SAT).sum())
-                vals, ids = self._scan_fn(
-                    qpad, params, codes=codes, exact=True
-                )
-                vals = np.asarray(vals)
-                ids = np.asarray(ids)
+                if tmaxes is not None:
+                    vals, ids = self._rescore_overflow(
+                        tmaxes, vals, ids, qpad, params, codes
+                    )
+                else:
+                    vals, ids, _ = self._scan_fn(
+                        qpad, params, codes=codes, exact=True
+                    )
+                    vals = np.asarray(vals)
+                    ids = np.asarray(ids)
             seconds = time.perf_counter() - t0
             k = self.results_per_query
             cells = float(nq) * float(self.packed.total_real_chars)
@@ -981,10 +1067,12 @@ class SearchEngine:
                 dtype=np.int32,
             )
             t0 = time.perf_counter()
-            vals, ids = self._scan_fn(
+            vals, ids, tmaxes = self._scan_fn(
                 qpad, params, codes=codes, exact=not self.state16
             )
-            pending.append(("single", vals, ids, nq, t0, qpad, params, codes))
+            pending.append(
+                ("single", vals, ids, tmaxes, nq, t0, qpad, params, codes)
+            )
             if len(pending) > window:
                 yield from materialize(pending.popleft())
         yield from flush_shorts()
@@ -1802,7 +1890,7 @@ class SearchEngine:
             params = np.array(
                 [nq, self.scoring.gop, self.scoring.gex, nq_pad], np.int32
             )
-            vals, ids = self._scan_fn(qpad, params, codes=codes, exact=True)
+            vals, ids, _ = self._scan_fn(qpad, params, codes=codes, exact=True)
             vals = np.asarray(vals)
             ids = np.asarray(ids)
             k = self.results_per_query

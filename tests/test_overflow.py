@@ -49,6 +49,82 @@ def test_cell_kernel_saturates_then_exact(rng, monkeypatch):
     sw_pallas_cell.score_bucket_pallas_cell._clear_cache()
 
 
+def test_engine_rescores_only_saturated_tiles(rng, monkeypatch):
+    """One saturating subject triggers exact re-scoring of ONLY its tile,
+    not the whole DB (VERDICT round-2 item 3; the reference re-launches
+    32-bit kernels over just the recorded overflow ids,
+    /root/reference/src/float_kernels.cuh:1189-1260)."""
+    from cudasw4_tpu import engine as eng_mod
+    from cudasw4_tpu import ops
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.db.format import pseudo_to_dbdata
+    from cudasw4_tpu.engine import SearchEngine
+
+    monkeypatch.setattr(ops, "INTERPRET", True)
+    monkeypatch.setattr(sw_pallas_cell, "SAT", 30)
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 99.0)  # force cell layout
+    sw_pallas_cell.score_bucket_pallas_cell._clear_cache()
+
+    # 4199 all-G subjects (score 0 vs an all-W query) + one all-W subject
+    # (score 24*11=264 >= SAT): two 4096-lane tiles, exactly one of which
+    # saturates.
+    from cudasw4_tpu.constants import encode
+    from cudasw4_tpu.db.format import DBData
+
+    seqs = [encode("G" * 16) for _ in range(4199)] + [encode("W" * 24)]
+    padlens = [-(-len(s) // 4) * 4 for s in seqs]
+    chars = np.full(sum(padlens), 20, np.int8)
+    offsets = np.zeros(len(seqs) + 1, np.uint64)
+    pos = 0
+    for i, s in enumerate(seqs):
+        chars[pos : pos + len(s)] = s
+        offsets[i] = pos
+        pos += padlens[i]
+    offsets[-1] = pos
+    db = DBData(
+        chars=chars,
+        offsets=offsets,
+        lengths=np.array([len(s) for s in seqs], np.int32),
+        headers=np.zeros(0, np.uint8),
+        header_offsets=np.zeros(len(seqs) + 1, np.uint64),
+    )
+
+    calls = []
+    real = eng_mod.score_bucket
+
+    def spy(tiles, *a, **kw):
+        calls.append((int(tiles.shape[0]), kw.get("exact")))
+        return real(tiles, *a, **kw)
+
+    monkeypatch.setattr(eng_mod, "score_bucket", spy)
+
+    engine = SearchEngine(num_top=5, qcap=64, backend="pallas")
+    engine.state16 = True
+    engine.set_database(db)
+    b = engine.packed.buckets[0]
+    assert b.kernel == "cell" and b.num_tiles == 2
+
+    calls.clear()
+    res = engine.scan("W" * 24)
+    # Exactly one exact re-score over exactly one tile (the fast pass
+    # traces through the spy too — with exact=False over both tiles).
+    assert [(n, ex) for n, ex in calls if ex] == [(1, True)], calls
+    assert res.stats.num_overflows == 1
+    assert res.scores[0] == 24 * 11  # exact, not the SAT clamp
+    assert res.reference_ids[0] == 4199
+    assert res.scores[1:] == [0, 0, 0, 0]
+    assert res.reference_ids[1:] == [0, 1, 2, 3]
+
+    # A query that saturates nothing must not trigger any re-score
+    # (all-C: C/G = -3 and C/W = -2, so every subject scores 0).
+    calls.clear()
+    res2 = engine.scan("C" * 8)
+    assert all(not ex for _n, ex in calls)
+    assert res2.stats.num_overflows == 0
+
+    sw_pallas_cell.score_bucket_pallas_cell._clear_cache()
+
+
 def test_col_kernel_saturates_then_exact(rng, monkeypatch):
     monkeypatch.setattr(sw_pallas_cell, "SAT", 30)
     monkeypatch.setattr(sw_pallas_col, "LC", 16)
