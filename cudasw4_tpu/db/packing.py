@@ -53,9 +53,13 @@ MAX_LANES = 1024
 #: [T, L, 32, 128].  Only used up to CELL_MAX_L — beyond that the
 #: per-tile substitution LUT (21 x tile bytes) exceeds VMEM and the
 #: column-chunked kernel (ops/sw_pallas_col.py, same tile layout, subject
-#: axis streamed LC columns at a time) takes over.
+#: axis streamed LC columns at a time) takes over.  768 is the measured
+#: v5e ceiling for int32 state (LUT 66 MB + X blocks 6.3 MB + H/F 25.2 MB
+#: ~= 98 MB of the 128 MB core; 896 fails to compile), and the cell
+#: kernel at L=768 runs ~292 GCUPS single-query vs ~275 for the column
+#: kernel (tools/cell_longL.py, round 3).
 CELL_SUBJECTS = 4096
-CELL_MAX_L = 512
+CELL_MAX_L = 768
 #: Measured v5e speed ratios vs the row-streaming kernel (~155/87 for the
 #: cell kernel at L<=512; ~165/58 for the column kernel at L>=640); used
 #: to pick the layout that maximises *effective* throughput after padding
@@ -339,7 +343,7 @@ def plan_buckets(lengths, edges=None):
 
 #: Bump when tile layout / bucket selection changes so stale sidecar
 #: caches are ignored.
-PACK_FORMAT_VERSION = 4
+PACK_FORMAT_VERSION = 5
 
 _KERNEL_CODE = {"row": 0, "cell": 1, "col": 2}
 _KERNEL_NAME = {v: k for k, v in _KERNEL_CODE.items()}
