@@ -227,13 +227,13 @@ class SearchEngine:
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
         self._stream_fns = {}
         # Batch query capacity: the full QCAP_BATCH SMEM block unless the
-        # DB has column-kernel buckets, whose batch paths cap slots at
-        # COL_BATCH_RMAX rows (longer queries run as singles: one
-        # NQC-row pass up to 2048 aa, chunked-carry beyond).
+        # DB has column-kernel buckets, whose batch passes pack query
+        # row counts into an NQC-row flat state pool (longer queries run
+        # as singles: one NQC-row pass, chunked-carry beyond).
         self._qcap_batch = sw_pallas_cell.QCAP_BATCH
         if any(b.kernel == "col" for b in self.packed.buckets):
             self._qcap_batch = min(
-                sw_pallas_cell.QCAP_BATCH, sw_pallas_col.COL_BATCH_RMAX
+                sw_pallas_cell.QCAP_BATCH, sw_pallas_col.NQC
             )
         ndev = self._mesh_ndev()
         if self._db_exceeds_device_memory(ndev):
@@ -754,13 +754,13 @@ class SearchEngine:
 
             fns = {}
 
-            def run_sharded(queries, qpad_full, params, R, S, count=None):
-                if (R, S, count) not in fns:
-                    fns[(R, S, count)] = sh.build_sharded_batch_scan(
-                        self.mesh, kinds, use_pallas, k, QB, R=R, S=S,
-                        pad=self._pad, count=count,
+            def run_sharded(queries, qpad_full, params, plan):
+                if plan not in fns:
+                    fns[plan] = sh.build_sharded_batch_scan(
+                        self.mesh, kinds, use_pallas, k, QB, plan=plan,
+                        pad=self._pad,
                     )
-                return fns[(R, S, count)](
+                return fns[plan](
                     queries, qpad_full, params,
                     self._sharded_tiles, self._sharded_idx,
                     self._matrix_flat, self._matrix_f32,
@@ -770,9 +770,9 @@ class SearchEngine:
 
         from .ops import INTERPRET, batch_col_scores
 
-        @functools.partial(jax.jit, static_argnames=("R", "S", "count"))
+        @functools.partial(jax.jit, static_argnames=("plan",))
         def batch_fn(queries, qpad_full, params, bucket_tiles, valid,
-                     flat_idx, mat_flat, mat_f32, R=4, S=1, count=None):
+                     flat_idx, mat_flat, mat_f32, plan=()):
             per_qb = [[] for _ in range(QB)]
             for tiles, kind in zip(bucket_tiles, kinds):
                 if use_pallas and kind == "cell":
@@ -783,29 +783,26 @@ class SearchEngine:
                     for qb in range(QB):
                         per_qb[qb].append(s[qb].reshape(-1))
                 elif use_pallas and kind == "col":
-                    # S-slot passes: each tile block is streamed and its
-                    # LUT built once per pass, not once per query
-                    # (verdict item 3; cudasw4.cuh:1742-2103 batches all
-                    # partitions per upload the same way).  ``count``
-                    # skips passes over empty tail slots (partial
-                    # batches); their rows fill with zeros, masked out
-                    # by _materialize_batch slicing to the real group.
-                    last = None
-                    covered = 0
-                    for s_part, base, take in batch_col_scores(
-                        tiles, queries, mat_flat, params, QB, R, S,
-                        interpret=INTERPRET, count=count, pad=self._pad,
+                    # Flat-pool passes: each tile block is streamed and
+                    # its LUT built once per pass, shared by every slot
+                    # the plan packed into it (verdict item 3;
+                    # cudasw4.cuh:1742-2103 batches all partitions per
+                    # upload the same way).  Tail slots outside the plan
+                    # (partial batches) fill with zeros, masked out by
+                    # _materialize_batch slicing to the real group.
+                    got = [None] * QB
+                    for s_part, slots in batch_col_scores(
+                        tiles, queries, mat_flat, params, QB, plan,
+                        interpret=INTERPRET, pad=self._pad,
                     ):
-                        for si in range(take):
-                            per_qb[base + si].append(
-                                s_part[si].reshape(-1)
-                            )
-                        last = s_part
-                        covered = base + take
-                    if covered < QB:
-                        zero = jnp.zeros_like(last[0].reshape(-1))
-                        for qb in range(covered, QB):
-                            per_qb[qb].append(zero)
+                        for si, slot in enumerate(slots):
+                            got[slot] = s_part[si].reshape(-1)
+                    ns = tiles.shape[0] * tiles.shape[2] * tiles.shape[3]
+                    zero = jnp.zeros(ns, jnp.float32)
+                    for qb in range(QB):
+                        per_qb[qb].append(
+                            got[qb] if got[qb] is not None else zero
+                        )
                 else:
                     for qb in range(QB):
                         pq = jnp.stack([
@@ -824,12 +821,11 @@ class SearchEngine:
             vals, idx = jax.lax.top_k(rows, max(1, k))
             return vals, jnp.take(flat_idx, idx)
 
-        def run(queries, qpad_full, params, R, S, count=None):
+        def run(queries, qpad_full, params, plan):
             return batch_fn(
                 queries, qpad_full, params,
                 tuple(self._bucket_tiles), self._valid, self._flat_idx,
-                self._matrix_flat, self._matrix_f32, R=R, S=S,
-                count=count,
+                self._matrix_flat, self._matrix_f32, plan=plan,
             )
 
         return run
@@ -887,19 +883,18 @@ class SearchEngine:
         for i, c in enumerate(group):
             qpad_full[i, : len(c)] = c
         if any(b.kernel == "col" for b in self.packed.buckets):
-            from .ops import col_batch_geometry
+            from .ops import col_flat_plan
 
-            R, S = col_batch_geometry(int(pads.max()), QB)
-            # Partial batches skip col passes over empty tail slots
-            # (each pass costs a full tile stream + LUT build).  At
-            # least one pass always runs so every slot's score rows
-            # keep the same bucket-concat layout (flat_idx mapping).
-            count = min(QB, max(S, -(-len(group) // S) * S))
+            # Bin-pack only the real slots (each pass costs a full tile
+            # stream + LUT build); tail slots of a partial batch get
+            # zero rows inside batch_fn, keeping the bucket-concat
+            # layout (flat_idx mapping) intact.
+            plan = col_flat_plan(pads, limit=len(group))
         else:
-            # R/S are unused without col buckets; pin them so the fused
-            # batch program compiles once, not per distinct max pad.
-            R, S, count = 4, 1, QB
-        return self._batch_scan_fn(queries, qpad_full, params, R, S, count)
+            # Unused without col buckets; pin it so the fused batch
+            # program compiles once, not per distinct query mix.
+            plan = ()
+        return self._batch_scan_fn(queries, qpad_full, params, plan)
 
     def _materialize_batch(self, vals, ids, group, t0):
         """Turn one batch dispatch into per-query ScanResults (in order).
@@ -1490,27 +1485,30 @@ class SearchEngine:
                     for slot, i in enumerate(shorts):
                         rows[i] = sb[slot]
                 elif use_pallas and kind == "col":
-                    # Multi-slot column kernel: all shorts share each
+                    # Flat-pool column kernel: all shorts share each
                     # streamed chunk's LUT build (verdict item 3).
-                    from .ops import batch_col_scores, col_batch_geometry
+                    from .ops import batch_col_scores, col_flat_plan
 
-                    R, S = col_batch_geometry(int(pads_b.max()), QB)
-                    count = -(-len(shorts) // S) * S
+                    plan = col_flat_plan(pads_b, limit=len(shorts))
                     scorer = None
                     if ndev > 1:
-                        scorer = stream_fn(
-                            ("colbatch", R, S),
-                            lambda: sh.build_sharded_col_batch_scorer(
-                                self.mesh
-                            ),
-                        )
-                    for s_part, base, take in batch_col_scores(
-                        xdev, qb_dev, self._matrix_flat, pdev, QB, R, S,
-                        interpret=INTERPRET, count=count, scorer=scorer,
+                        def scorer(t, q, m, p, offs):
+                            fn = stream_fn(
+                                ("colflat", offs),
+                                lambda: (
+                                    sh.build_sharded_col_batch_scorer(
+                                        self.mesh, offs
+                                    )
+                                ),
+                            )
+                            return fn(t, q, m, p)
+                    for s_part, slots in batch_col_scores(
+                        xdev, qb_dev, self._matrix_flat, pdev, QB, plan,
+                        interpret=INTERPRET, scorer=scorer,
                         pad=self._pad,
                     ):
-                        for si in range(min(take, len(shorts) - base)):
-                            rows[shorts[base + si]] = s_part[si]
+                        for si, slot in enumerate(slots):
+                            rows[shorts[slot]] = s_part[si]
                 else:
                     for i in shorts:
                         rows[i] = score_one(xdev, b, i)

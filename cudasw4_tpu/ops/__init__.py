@@ -61,71 +61,101 @@ def score_bucket(
     )
 
 
-def batch_col_scores(
-    tiles, queries, mat_flat, params, QB: int, R: int, S: int,
-    interpret: bool = False, count: int | None = None, scorer=None,
-    pad: int | None = None,
-):
-    """Score a col bucket for a QB-query batch in ceil(QB/S) passes of the
-    multi-slot column kernel (one tile stream + LUT build per pass).
+def col_flat_plan(pads, limit=None, rtot=None, smax=8):
+    """Bin-pack batch slots into flat-pool column-kernel passes.
 
-    ``queries`` [QB, >=R] int32, ``params`` the batch layout
-    [4+2*QB]: _, gop, gex, _, nq_0.., pad_0.. (pads are the unroll-padded
-    row counts the slots run).  Yields (scores [S, T, NS], base, take) —
-    traced values, usable inside a jit.
+    ``pads``: per-slot unroll-padded query row counts (the batch params'
+    second block).  ``limit``: only the first ``limit`` slots are real
+    (tail slots of a partial batch are skipped entirely — each pass
+    costs a full tile stream + LUT build).  Returns a hashable plan:
+    a tuple of passes, each a tuple of (slot, state_row_offset) pairs
+    with the pass's *reservations* summing to <= ``rtot`` (default
+    sw_pallas_col.NQC) and at most ``smax`` slots (the per-slot
+    per-grid-step overhead grows with slot count; 8 measured -7% vs
+    singles while saving up to 7 tile streams).
 
-    ``count`` limits how many leading slots are actually scored (rounded
-    up to S internally; default all QB) — the streaming path uses it to
-    skip passes over empty batch slots.  ``scorer`` overrides the kernel
-    call (the sharded streaming path passes a shard_map-wrapped one).
+    Reservations and offsets are quantised to FLAT_QUANT rows: offsets
+    are baked into the kernel as compile-time constants (a dynamic
+    offset measured -12%), so quantising keeps the set of compiled
+    kernel variants small across query mixes.
+
+    First-fit decreasing: the reference ladder's ten <= 1024-aa queries
+    pack into ~2 passes where a power-of-two (R, S) geometry
+    degenerates to one pass *per query* (R sized by the longest slot).
+    This is the planner feeding score_bucket_pallas_col_flat — the
+    analog of the reference's all-partitions-per-upload batching
+    (/root/reference/src/cudasw4.cuh:1742-2103) for mixed query lengths.
     """
-    from ..constants import UNKNOWN
+    from . import sw_pallas_col
+    from .sw_pallas_col import FLAT_QUANT
+
+    if rtot is None:
+        rtot = sw_pallas_col.NQC
+    n = len(pads) if limit is None else min(int(limit), len(pads))
+    order = sorted(range(n), key=lambda i: -int(pads[i]))
+    passes: list[list] = []  # [rows_reserved, [(slot, off), ...]]
+    for i in order:
+        p = int(pads[i])
+        if p > rtot:
+            raise ValueError(
+                f"slot {i} needs {p} state rows > pool {rtot}; the "
+                "caller must route queries longer than the pool to the "
+                "chunked single-query path"
+            )
+        r = -(-p // FLAT_QUANT) * FLAT_QUANT
+        for entry in passes:
+            if entry[0] + r <= rtot and len(entry[1]) < smax:
+                entry[1].append((i, entry[0]))
+                entry[0] += r
+                break
+        else:
+            passes.append([r, [(i, 0)]])
+    return tuple(tuple(e[1]) for e in passes)
+
+
+def batch_col_scores(
+    tiles, queries, mat_flat, params, QB: int, plan,
+    interpret: bool = False, scorer=None, pad: int | None = None,
+    rtot: int | None = None,
+):
+    """Score a col bucket for a QB-query batch, one flat-pool kernel pass
+    per plan entry (one tile stream + LUT build per pass, shared by all
+    of the pass's slots).
+
+    ``queries`` [QB, W] int32 (W <= the state pool rows), ``params`` the
+    batch layout [4+2*QB]: _, gop, gex, _, nq_0.., pad_0.. (pads are the
+    unroll-padded row counts the slots run), ``plan`` from
+    col_flat_plan.  Yields (scores [S_pass, T, NS], slots) — traced
+    values, usable inside a jit; ``slots`` is the tuple of batch slots
+    scored by this pass (scores row i belongs to slots[i]).
+
+    ``scorer`` overrides the kernel call (the sharded streaming path
+    passes a shard_map-wrapped one); it receives the pass's static
+    offset tuple as its last argument.
+    """
+    import numpy as np
+
     from . import sw_pallas_col
 
+    del pad  # kept for call-site compat; live slots need no pad rows
+    if rtot is None:
+        rtot = sw_pallas_col.NQC
     if scorer is None:
-        def scorer(t, q, m, p):
-            return sw_pallas_col.score_bucket_pallas_col_batch(
-                t, q, m, p, interpret=interpret, exact=True
+        def scorer(t, q, m, p, offs):
+            return sw_pallas_col.score_bucket_pallas_col_flat(
+                t, q, m, p, offs=offs, rtot=rtot, interpret=interpret,
+                exact=True,
             )
 
-    limit = QB if count is None else min(QB, count)
-    base = 0
-    while base < limit:
-        take = min(S, QB - base)
-        qs = queries[base : base + take, :R]
-        pc = params[4 + QB + base : 4 + QB + base + take]
-        if take < S:
-            qs = jnp.pad(
-                qs, ((0, S - take), (0, 0)),
-                constant_values=UNKNOWN if pad is None else pad,
-            )
-            pc = jnp.pad(pc, (0, S - take), constant_values=4)
-        pcol = jnp.concatenate([params[:4], pc])
-        s = scorer(tiles, qs, mat_flat, pcol)
-        yield s, base, take
-        base += take
-
-
-def col_batch_geometry(max_pad: int, QB: int) -> tuple[int, int]:
-    """(R, S) for the multi-slot column kernel: R = slot row capacity
-    (power of two >= the largest unroll-padded query in the batch), S =
-    largest power-of-two slots per pass with total state S*R <=
-    COL_BATCH_RMAX (the 32 MB state budget that is stable inside large
-    fused programs).  S need not divide QB: batch_col_scores pads the
-    final partial group with 4-row pad-letter slots, which is far
-    cheaper than the extra full passes an exact-divisor S would take
-    (each pass pays a tile stream + LUT build; QB=20 with divisor S=4
-    is 5 passes vs 2 at S=16)."""
-    from . import sw_pallas_col
-
-    R = 4
-    while R < max_pad:
-        R *= 2
-    cap = max(1, sw_pallas_col.COL_BATCH_RMAX // R)
-    S = 1
-    while S * 2 <= min(cap, QB):
-        S *= 2
-    return R, S
+    for slots_offs in plan:
+        idx = [s for s, _ in slots_offs]
+        offs = tuple(o for _, o in slots_offs)
+        gather = jnp.asarray(np.array(idx, np.int64))
+        qs = queries[gather]
+        nqp = params[4 + QB + gather]
+        pcol = jnp.concatenate([params[:4], nqp])
+        s = scorer(tiles, qs, mat_flat, pcol, offs)
+        yield s, tuple(idx)
 
 
 def bucket_kind(bucket, nq_pad: int | None = None) -> str:

@@ -48,18 +48,19 @@ NEG16 = -20000
 #: Subject positions per grid step (all long-bucket lengths are multiples).
 LC = 128
 
-#: Query rows per invocation (state = 2 * NQC * 4096 * 4B = 64 MB VMEM,
-#: inside the 100 MB request; measured +7% on 2k-aa queries over the
-#: 1024-row two-chunk carry, no regression on short queries).
-NQC = 2048
+import os as _os
 
-#: Slot-rows budget for the S-slot batch kernel when it runs inside the
-#: engine's big batched program.  Many 64 MB-state (R=2048) passes fused
-#: into ONE XLA program measured a device kernel fault at 1M x 2048
-#: (T=245) on v5e — the identical passes run fine standalone or eagerly
-#: back-to-back, so this is an XLA/Mosaic composition marginality, not a
-#: kernel bug.  32 MB-state batch slots are stable at every scale.
-COL_BATCH_RMAX = 1024
+#: Query rows per invocation (state = 2 * NQC * 4096 * 4B = 96 MB VMEM at
+#: the default 3072, inside the 118 MB request; round-3 A/B on v5e:
+#: 3072 beats 2048 by +8% on 3005-aa queries (one pass instead of two)
+#: and +2.7% on 5478-aa, no change at <= 2048.  3584 would put the
+#: carry-variant request past the 128 MB core.
+NQC = int(_os.environ.get("CUDASW4_TPU_COL_NQC", 3072))
+
+#: VMEM request ceiling for the column kernels (v5e core = 128 MB; the
+#: NQC=3072 state plus LUT and carry-io blocks measures stable at 118 MB).
+_VMEM_CAP = int(_os.environ.get("CUDASW4_TPU_COL_VMEM_CAP", 118 << 20))
+
 
 
 def _sw_col_kernel(refs, *, LCk, U, take_init, emit_state,
@@ -256,7 +257,7 @@ def score_bucket_pallas_col(
     state = NQC * g * nsl * 4 * 2
     io = chunk * (2 + 4 * (2 * int(take_init) + 2 * int(emit_state)))
     vmem_bytes = chunk * A + state + io + 8 * chunk * 4
-    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), 100 << 20)
+    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), _VMEM_CAP)
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -302,8 +303,6 @@ def pad_query_chunk(codes, unroll: int = 4, pad: int | None = None):
 #: peak ~2 GiB, which coexists with a 2 GiB resident bucket plus batch
 #: intermediates on a 16 GiB chip (a 2 GiB budget measured a device
 #: fault at 1M x 2048).
-import os as _os
-
 COL_CARRY_TEMP_BYTES = int(
     _os.environ.get("CUDASW4_TPU_COL_TEMP_BYTES", 1 << 30)
 )
@@ -376,19 +375,34 @@ def score_bucket_col_any_query(
     return jnp.asarray(np.concatenate(parts, axis=0))
 
 
-def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,
-                         A=ALPHABET_SIZE):
-    """Multi-query column kernel: S query slots of up to R rows each share
-    one streamed subject chunk and one substitution LUT per grid step.
 
-    The single-query kernel streams the bucket once *per query*; for a
-    batch the engine previously paid that stream + LUT build QB times
-    (round-1 verdict item 3).  Here the (tiles, chunks) grid is unchanged
-    and the slots loop runs inside the step, so each tile block is fetched
-    and its LUT built exactly once per batch — the analog of the
-    reference's all-partitions-batched upload (cudasw4.cuh:1742-2103).
-    Per-slot DP state is a slice of the same NQC-row VMEM budget
-    (S * R <= NQC keeps it identical to the single-query kernel).
+def _sw_col_flat_kernel(refs, *, LCk, U, S, OFFS, RTOT,
+                        state_dtype=jnp.int32, A=ALPHABET_SIZE):
+    """Flat-pool multi-query column kernel: S query slots share ONE
+    RTOT-row DP state pool via per-slot row offsets.
+
+    A fixed-geometry (R, S) batch kernel gives every slot the same
+    power-of-two row capacity R, so one 1000-aa query in a mixed batch
+    forces R=1024 and S=1 — i.e. no batching at all for the reference
+    ladder.  Here slot qb owns state rows [OFFS[qb], OFFS[qb] + nqp_qb)
+    of a single flat pool, so a pass batches any mix of query lengths
+    whose row counts *sum* to <= RTOT: each tile block is streamed and
+    its LUT built once for the whole pass, the same
+    all-partitions-per-upload amortisation as the reference
+    (cudasw4.cuh:1742-2103) without its per-partition template geometry.
+
+    Shape discipline from the round-3 A/B ladder (all measured on v5e,
+    1M x 1024, vs the single-query kernel's 297-300 GCUPS):
+    - slots Python-unrolled; a fori_loop over slots was -16% (idle
+      slots pay LCk loop trips per grid step, and the extra nest
+      degrades Mosaic's schedule for the live ones);
+    - OFFS static; the offsets read from SMEM params cost -12% (the
+      dynamic base defeats address induction in the row loop);
+    - S = the pass's true slot count; a fixed S=16 output block with
+      idle tail slots cost -8-12% (the [S, G, NSL] out block is moved
+      every grid step).  Result: S=1 matches singles exactly (300.8),
+      S=2 runs 290.8, S=8 278 — a net win over per-query passes
+      whenever more than one query shares the tile stream.
     """
     (params_ref, q_ref, b_ref, x_ref, out_ref,
      lut_ref, hcol_ref, ecol_ref, m_ref, dcarry_ref) = refs
@@ -405,42 +419,49 @@ def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,
     negv = zero + NEG
     negs = zero + (NEG16 if narrow else NEG)
 
-    def one_slot(qb, _):
+    for qb in range(S):
         nqp = params_ref[4 + qb]  # rows this slot, multiple of U
+        off = OFFS[qb]  # static first state-pool row of this slot
         nsteps = nqp // U
 
         @pl.when(c == 0)
-        def _():
+        def _(qb=qb, off=off, nsteps=nsteps):
             m_ref[qb] = zero
             dcarry_ref[qb] = zero
 
+            # Init only this slot's rows (dynamic trip count): short
+            # slots pay O(nqp), unlike a fixed-geometry full-R splat.
             def izero(i, _):
-                hcol_ref[qb, pl.ds(i * U, U)] = jnp.stack(
+                hcol_ref[pl.ds(off + i * U, U)] = jnp.stack(
                     [zero.astype(state_dtype)] * U
                 )
-                ecol_ref[qb, pl.ds(i * U, U)] = jnp.stack(
+                ecol_ref[pl.ds(off + i * U, U)] = jnp.stack(
                     [negs.astype(state_dtype)] * U
                 )
                 return 0
 
-            jax.lax.fori_loop(0, R // U, izero, 0)
+            jax.lax.fori_loop(0, nsteps, izero, 0)
 
         m0 = m_ref[qb]
 
-        def col_step(j, carry):
+        def col_step(j, carry, qb=qb, off=off, nsteps=nsteps):
+            # prev_hinit is the H diagonal above the slot's first row:
+            # identically 0 for local alignment (virtual row), carried
+            # through dcarry to keep the proven single-kernel loop
+            # structure (Mosaic's schedule is hypersensitive to it).
             prev_hinit, m = carry
             hinit = zero
             finit = negv
 
             def row_step(ii, icarry):
                 hdiag, hprev, freg, m = icarry
-                i0 = ii * U
-                hc_s = hcol_ref[qb, pl.ds(i0, U)].astype(jnp.int32)
-                ec_s = ecol_ref[qb, pl.ds(i0, U)].astype(jnp.int32)
+                i0 = off + ii * U
+                hc_s = hcol_ref[pl.ds(i0, U)].astype(jnp.int32)
+                ec_s = ecol_ref[pl.ds(i0, U)].astype(jnp.int32)
                 hnew = []
                 enew = []
                 for u in range(U):
-                    qi = q_ref[qb, i0 + u]
+                    qi = q_ref[qb, ii * U + u]
                     sub = lut_ref[qi, j].astype(jnp.int32)
                     hc = hc_s[u]
                     e = jnp.maximum(ec_s[u] + gex, hc + gop)
@@ -456,8 +477,8 @@ def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,
                 hs = jnp.stack(hnew)
                 if narrow:
                     hs = jnp.minimum(hs, sat)
-                hcol_ref[qb, pl.ds(i0, U)] = hs.astype(state_dtype)
-                ecol_ref[qb, pl.ds(i0, U)] = jnp.stack(enew).astype(
+                hcol_ref[pl.ds(i0, U)] = hs.astype(state_dtype)
+                ecol_ref[pl.ds(i0, U)] = jnp.stack(enew).astype(
                     state_dtype
                 )
                 return (hdiag, hprev, freg, m)
@@ -472,41 +493,52 @@ def _sw_col_batch_kernel(refs, *, LCk, U, S, R, state_dtype=jnp.int32,
         )
         dcarry_ref[qb] = prev_hinit
         m_ref[qb] = m
-        return 0
-
-    jax.lax.fori_loop(0, S, one_slot, 0)
-    out_ref[0] = m_ref[...].astype(jnp.float32)
+        out_ref[0, qb] = m.astype(jnp.float32)
 
 
-def _sw_col_batch_kernel_entry(*refs, LCk, U, S, R, state_dtype,
-                               A=ALPHABET_SIZE):
-    _sw_col_batch_kernel(refs, LCk=LCk, U=U, S=S, R=R,
-                         state_dtype=state_dtype, A=A)
+def _sw_col_flat_kernel_entry(*refs, LCk, U, S, OFFS, RTOT, state_dtype,
+                              A=ALPHABET_SIZE):
+    _sw_col_flat_kernel(refs, LCk=LCk, U=U, S=S, OFFS=OFFS, RTOT=RTOT,
+                        state_dtype=state_dtype, A=A)
+
+
+#: Offset quantum for the flat pool: slot reservations round up to a
+#: multiple of this, so the static offset tuples (part of the kernel
+#: compile key) take few distinct values across query mixes and the
+#: Mosaic compile cache stays bounded.
+FLAT_QUANT = 128
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "unroll", "exact")
+    jax.jit,
+    static_argnames=("offs", "rtot", "interpret", "unroll", "exact"),
 )
-def score_bucket_pallas_col_batch(
+def score_bucket_pallas_col_flat(
     tiles: jax.Array,  # int8 [T, L, G, NSL], L % LC == 0
-    queries: jax.Array,  # int32 [S, R] query slots (UNKNOWN-padded)
-    matrix_flat: jax.Array,  # int32 [441]
+    queries: jax.Array,  # int32 [S, W] query slots (pad-letter padded)
+    matrix_flat: jax.Array,  # int32 [A*A]
     params: jax.Array,  # int32 [4+S]: _, gop, gex, _, nqp_0..nqp_{S-1}
+    offs: tuple = (),  # static state-pool row offset per slot
+    rtot: int | None = None,
     interpret: bool = False,
     unroll: int = 4,
     exact: bool = True,
 ):
-    """Scores f32 [S, T, G*NSL]: S queries per tile stream.
+    """Scores f32 [S, T, G*NSL]: S flat-pool slots per tile stream.
 
-    Each slot's nqp must be a multiple of ``unroll`` and <= R; unused
-    slots should carry nqp = unroll with UNKNOWN rows (scored but can
-    never beat real hits, B[UNKNOWN][.] < 0)."""
+    Slot qb runs queries[qb, :nqp_qb] against state rows
+    [offs[qb], offs[qb]+nqp_qb); the caller guarantees every nqp is a
+    multiple of ``unroll``, offsets are non-overlapping multiples of
+    FLAT_QUANT (compile-cache discipline) and offs[qb] + nqp_qb <=
+    rtot (default NQC).  See col_flat_plan for the packing."""
     T, L, g, nsl = tiles.shape
-    S, R = queries.shape
+    S, W = queries.shape
     A = _alphabet_dim(matrix_flat)
+    RTOT = NQC if rtot is None else rtot
     assert (g, nsl) == (G, NSL), (g, nsl)
     assert L % LC == 0, L
-    assert R % unroll == 0, (R, unroll)
+    assert W <= RTOT, (W, RTOT)
+    assert len(offs) == S, (offs, S)
     C = L // LC
     state_dtype = jnp.int32 if exact else jnp.int16
     state_bytes = 4 if exact else 2
@@ -522,20 +554,20 @@ def score_bucket_pallas_col_batch(
         ],
         scratch_shapes=[
             pltpu.VMEM((A, LC, g, nsl), jnp.int8),
-            pltpu.VMEM((S, R, g, nsl), state_dtype),
-            pltpu.VMEM((S, R, g, nsl), state_dtype),
+            pltpu.VMEM((RTOT, g, nsl), state_dtype),
+            pltpu.VMEM((RTOT, g, nsl), state_dtype),
             pltpu.VMEM((S, g, nsl), jnp.int32),
             pltpu.VMEM((S, g, nsl), jnp.int32),
         ],
     )
     kernel = functools.partial(
-        _sw_col_batch_kernel_entry, LCk=LC, U=unroll, S=S, R=R,
-        state_dtype=state_dtype, A=A,
+        _sw_col_flat_kernel_entry, LCk=LC, U=unroll, S=S, OFFS=offs,
+        RTOT=RTOT, state_dtype=state_dtype, A=A,
     )
     chunk = LC * g * nsl
-    state = 2 * S * R * g * nsl * state_bytes
+    state = 2 * RTOT * g * nsl * state_bytes
     vmem_bytes = chunk * A + state + 4 * chunk + 8 * chunk * 4
-    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), 100 << 20)
+    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), _VMEM_CAP)
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

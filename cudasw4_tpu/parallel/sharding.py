@@ -171,14 +171,13 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh,
 
 def build_sharded_batch_scan(
     mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int,
-    R: int = 4, S: int = 1, pad: int | None = None,
-    count: int | None = None,
+    plan=(), pad: int | None = None,
 ):
     """Batched variant of build_sharded_scan: scores QB queries per pass
     (cell buckets use the multi-query batch kernel, col buckets the
-    S-slot column kernel — one tile stream for the whole batch), with
-    per-query local top-k + all_gather merge.  (R, S) from
-    ops.col_batch_geometry.
+    flat-pool column kernel — one tile stream for the whole batch), with
+    per-query local top-k + all_gather merge.  ``plan`` from
+    ops.col_flat_plan.
 
     Returns jitted (queries [QB, QCAP_BATCH], qpad_full [QB, QCAP],
     params [4+2*QB], tiles_tuple, idx_tuple, mat_flat, mat_f32) ->
@@ -202,23 +201,22 @@ def build_sharded_batch_scan(
                 for qb in range(QB):
                     per_qb[qb].append(s[qb].reshape(-1))
             elif use_pallas and kind == "col":
-                # ``count`` skips passes over empty tail slots (partial
-                # batches); their rows fill with zeros, discarded when
-                # the caller slices to the real group.
-                last = None
-                covered = 0
-                for s_part, base, take in batch_col_scores(
-                    tiles, queries, mat_flat, params, QB, R, S,
-                    interpret=INTERPRET, count=count, pad=pad,
+                # Slots outside the plan (partial-batch tails) fill
+                # with zeros, discarded when the caller slices to the
+                # real group.
+                got = [None] * QB
+                for s_part, slots in batch_col_scores(
+                    tiles, queries, mat_flat, params, QB, plan,
+                    interpret=INTERPRET, pad=pad,
                 ):
-                    for si in range(take):
-                        per_qb[base + si].append(s_part[si].reshape(-1))
-                    last = s_part
-                    covered = base + take
-                if covered < QB:
-                    zero = jnp.zeros_like(last[0].reshape(-1))
-                    for qb in range(covered, QB):
-                        per_qb[qb].append(zero)
+                    for si, slot in enumerate(slots):
+                        got[slot] = s_part[si].reshape(-1)
+                ns = tiles.shape[0] * tiles.shape[2] * tiles.shape[3]
+                zero = jnp.zeros(ns, jnp.float32)
+                for qb in range(QB):
+                    per_qb[qb].append(
+                        got[qb] if got[qb] is not None else zero
+                    )
             else:
                 for qb in range(QB):
                     pq = jnp.stack([
@@ -436,18 +434,19 @@ def build_sharded_cell_batch_scorer(mesh: Mesh):
     return jax.jit(mapped)
 
 
-def build_sharded_col_batch_scorer(mesh: Mesh):
-    """jitted (tiles, queries [S, R], mat_flat, params [4+S]) ->
-    scores [S, T, NS] via the multi-slot column kernel, tile axis
-    sharded (streamed-chunk scorer for batches on a mesh)."""
+def build_sharded_col_batch_scorer(mesh: Mesh, offs: tuple = ()):
+    """jitted (tiles, queries [S, W], mat_flat, params [4+S]) ->
+    scores [S, T, NS] via the flat-pool column kernel (static state-pool
+    ``offs`` per slot), tile axis sharded (streamed-chunk scorer for
+    batches on a mesh)."""
     from ..ops import INTERPRET, sw_pallas_col
 
     axis = mesh.axis_names[0]
 
     def body(tiles, queries, mat_flat, params):
-        return sw_pallas_col.score_bucket_pallas_col_batch(
-            tiles, queries, mat_flat, params, interpret=INTERPRET,
-            exact=True,
+        return sw_pallas_col.score_bucket_pallas_col_flat(
+            tiles, queries, mat_flat, params, offs=offs,
+            interpret=INTERPRET, exact=True,
         )
 
     mapped = jax.shard_map(

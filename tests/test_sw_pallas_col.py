@@ -94,8 +94,9 @@ def test_col_kernel_gap_regression(monkeypatch):
     assert int(np.asarray(got).reshape(-1)[0]) == 20
 
 
-def test_col_batch_kernel_matches_oracle(rng, monkeypatch):
-    """S query slots share one tile stream; per-slot scores are exact."""
+def test_col_flat_kernel_matches_oracle(rng, monkeypatch):
+    """Flat-pool slots (mixed lengths, shared state pool) share one tile
+    stream; per-slot scores are exact."""
     monkeypatch.setattr(sw_pallas_col, "LC", 16)
     cfg = make_scoring_config("blosum62")
     L = 48  # 3 subject chunks
@@ -103,28 +104,61 @@ def test_col_batch_kernel_matches_oracle(rng, monkeypatch):
     subjects = [
         rng.integers(0, 20, size=int(rng.integers(5, L))) for _ in range(n)
     ]
-    S, R = 4, 24
+    S, W, RTOT = 4, 24, 128
     queries = [rng.integers(0, 20, size=int(ln)) for ln in (7, 24, 13, 20)]
     from cudasw4_tpu.constants import UNKNOWN
 
-    qarr = np.full((S, R), UNKNOWN, np.int32)
-    nqps = []
+    quant = 32  # test-sized FLAT_QUANT so 4 slots fit a 128-row pool
+    qarr = np.full((S, W), UNKNOWN, np.int32)
+    nqps = np.zeros(S, np.int32)
+    offs = []
+    off = 0
     for s, q in enumerate(queries):
         qarr[s, : len(q)] = q
-        nqps.append(max(4, -(-len(q) // 4) * 4))
-    params = jnp.asarray(
-        np.array([0, cfg.gop, cfg.gex, 0] + nqps, np.int32)
-    )
+        nqps[s] = max(4, -(-len(q) // 4) * 4)
+        offs.append(off)
+        off += -(-int(nqps[s]) // quant) * quant
+    params = jnp.asarray(np.concatenate(
+        [np.array([0, cfg.gop, cfg.gex, 0], np.int32), nqps]
+    ))
     mat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
-    got = sw_pallas_col.score_bucket_pallas_col_batch(
+    got = sw_pallas_col.score_bucket_pallas_col_flat(
         _tiles_from(subjects, L, 2), jnp.asarray(qarr), mat, params,
-        interpret=not ON_TPU,
+        offs=tuple(offs), rtot=RTOT, interpret=not ON_TPU,
     )
     got = np.asarray(got)
     for s, q in enumerate(queries):
         assert [int(v) for v in got[s].reshape(-1)[:n]] == _oracle(
             q, subjects, cfg
         ), f"slot {s}"
+
+
+def test_col_flat_plan_bin_packing():
+    """First-fit-decreasing: mixed ladder row counts pack into few
+    passes, offsets are non-overlapping, limit drops tail slots, and
+    over-pool queries raise."""
+    import pytest
+
+    from cudasw4_tpu.ops import col_flat_plan
+
+    quant = 128  # sw_pallas_col.FLAT_QUANT
+    pads = [144, 192, 224, 376, 464, 568, 660, 732, 852, 1000]
+    plan = col_flat_plan(pads, rtot=3072)
+    assert len(plan) == 2  # ~5.8k reserved rows -> 2 passes of <= 3072
+    seen = set()
+    for slots in plan:
+        rows = 0
+        for slot, off in sorted(slots, key=lambda t: t[1]):
+            assert off == rows  # dense, non-overlapping reservations
+            rows += -(-pads[slot] // quant) * quant
+            seen.add(slot)
+        assert rows <= 3072
+    assert seen == set(range(len(pads)))
+    assert col_flat_plan(pads, limit=3, rtot=3072) == (
+        ((2, 0), (1, 256), (0, 512)),
+    )
+    with pytest.raises(ValueError):
+        col_flat_plan([4000], rtot=3072)
 
 
 def test_col_kernel_tile_group_bounded_temp(rng, monkeypatch):
