@@ -229,15 +229,6 @@ class SearchEngine(StreamingEngineMixin):
         )
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
         self._stream_fns = {}
-        # Batch query capacity: the full QCAP_BATCH SMEM block unless the
-        # DB has column-kernel buckets, whose batch passes pack query
-        # row counts into an NQC-row flat state pool (longer queries run
-        # as singles: one NQC-row pass, chunked-carry beyond).
-        self._qcap_batch = sw_pallas_cell.QCAP_BATCH
-        if any(b.kernel == "col" for b in self.packed.buckets):
-            self._qcap_batch = min(
-                sw_pallas_cell.QCAP_BATCH, sw_pallas_col.NQC
-            )
         ndev = self._mesh_ndev()
         if self._db_exceeds_device_memory(ndev):
             # DBs beyond (per-chip budget x mesh size) stream host->HBM per
@@ -511,6 +502,29 @@ class SearchEngine(StreamingEngineMixin):
 
         return run
 
+    def _single_qpad(self, codes):
+        """Padded query block + params for a single (non-batch) scan.
+
+        Pallas kernels stop their DP loops at nq, so the full-qcap pad
+        is free on TPU and buys a single compiled program.  The
+        portable jnp scorer walks every padded row, so on that backend
+        pad to 256-granular tight length instead (CPU retraces are
+        cheap; 8192-row pads measured a ~16x tax on CPU scans).
+        """
+        nq = len(codes)
+        qlen = (
+            self.qcap
+            if self.backend == "pallas"
+            else min(self.qcap, max(256, _round_up(nq, 256)))
+        )
+        qpad = np.full(qlen, self._pad, dtype=np.int32)
+        qpad[:nq] = codes
+        nq_pad = max(4, -(-nq // 4) * 4)  # column-kernel row count (x unroll)
+        params = np.array(
+            [nq, self.scoring.gop, self.scoring.gex, nq_pad], dtype=np.int32
+        )
+        return qpad, params
+
     def scan(self, sequence) -> ScanResult:
         """Search one query against the resident database."""
         if self.packed is None:
@@ -531,22 +545,7 @@ class SearchEngine(StreamingEngineMixin):
             # (cell) or chunk with boundary carry (col) — the analog of
             # the reference's many-pass escalation for extremes.
             return self._scan_long_query(codes)
-        # Pallas kernels stop their DP loops at nq, so the full-qcap pad
-        # is free on TPU and buys a single compiled program.  The
-        # portable jnp scorer walks every padded row, so on that backend
-        # pad to 256-granular tight length instead (CPU retraces are
-        # cheap; 8192-row pads measured a ~16x tax on CPU scans).
-        qlen = (
-            self.qcap
-            if self.backend == "pallas"
-            else min(self.qcap, max(256, _round_up(nq, 256)))
-        )
-        qpad = np.full(qlen, self._pad, dtype=np.int32)
-        qpad[:nq] = codes
-        nq_pad = max(4, -(-nq // 4) * 4)  # column-kernel row count (x unroll)
-        params = np.array(
-            [nq, self.scoring.gop, self.scoring.gex, nq_pad], dtype=np.int32
-        )
+        qpad, params = self._single_qpad(codes)
         t0 = time.perf_counter()
         overflows = 0
         vals, ids, tmaxes = self._scan_fn(
@@ -746,6 +745,23 @@ class SearchEngine(StreamingEngineMixin):
         """Max queries scan_batch/scan_many group into one fused pass."""
         return self.QB_STREAM if self.streaming else self.QB_MAX
 
+    @property
+    def _qcap_batch(self) -> int:
+        """Batch query capacity: the full QCAP_BATCH SMEM block unless
+        the DB has column-kernel buckets, whose batch passes pack query
+        row counts into a flat state pool (longer queries run as
+        singles: one NQC-row pass, chunked-carry beyond).  The pool is
+        NQC rows wherever passes dispatch as their own programs (single
+        chip, all streaming) but FUSED_RTOT on the mesh-resident path,
+        whose passes fuse into one shard_map program (see
+        sw_pallas_col.FUSED_RTOT for the TPU-worker-crash rationale)."""
+        if not any(b.kernel == "col" for b in self.packed.buckets):
+            return sw_pallas_cell.QCAP_BATCH
+        pool = sw_pallas_col.NQC
+        if not self.streaming and self._mesh_ndev() > 1:
+            pool = min(pool, sw_pallas_col.FUSED_RTOT)
+        return min(sw_pallas_cell.QCAP_BATCH, pool)
+
     def _build_batch_scan_fn(self):
         kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
         use_pallas = self.backend == "pallas"
@@ -761,7 +777,7 @@ class SearchEngine(StreamingEngineMixin):
                 if plan not in fns:
                     fns[plan] = sh.build_sharded_batch_scan(
                         self.mesh, kinds, use_pallas, k, QB, plan=plan,
-                        pad=self._pad,
+                        pad=self._pad, rtot=self._qcap_batch,
                     )
                 return fns[plan](
                     queries, qpad_full, params,
@@ -773,10 +789,11 @@ class SearchEngine(StreamingEngineMixin):
 
         from .ops import INTERPRET, batch_col_scores
 
-        @functools.partial(jax.jit, static_argnames=("plan",))
+        @jax.jit
         def batch_fn(queries, qpad_full, params, bucket_tiles, valid,
-                     flat_idx, mat_flat, mat_f32, plan=()):
+                     flat_idx, mat_flat, mat_f32, col_rows=()):
             per_qb = [[] for _ in range(QB)]
+            col_i = 0
             for tiles, kind in zip(bucket_tiles, kinds):
                 if use_pallas and kind == "cell":
                     s = sw_pallas_cell.score_bucket_pallas_cell_batch(
@@ -786,26 +803,13 @@ class SearchEngine(StreamingEngineMixin):
                     for qb in range(QB):
                         per_qb[qb].append(s[qb].reshape(-1))
                 elif use_pallas and kind == "col":
-                    # Flat-pool passes: each tile block is streamed and
-                    # its LUT built once per pass, shared by every slot
-                    # the plan packed into it (verdict item 3;
-                    # cudasw4.cuh:1742-2103 batches all partitions per
-                    # upload the same way).  Tail slots outside the plan
-                    # (partial batches) fill with zeros, masked out by
-                    # _materialize_batch slicing to the real group.
-                    got = [None] * QB
-                    for s_part, slots in batch_col_scores(
-                        tiles, queries, mat_flat, params, QB, plan,
-                        interpret=INTERPRET, pad=self._pad,
-                    ):
-                        for si, slot in enumerate(slots):
-                            got[slot] = s_part[si].reshape(-1)
-                    ns = tiles.shape[0] * tiles.shape[2] * tiles.shape[3]
-                    zero = jnp.zeros(ns, jnp.float32)
+                    # Scored eagerly in run() below — many big-state col
+                    # passes fused into ONE program crash the TPU worker
+                    # at scale (sw_pallas_col.FUSED_RTOT); the merge
+                    # consumes the precomputed rows.
                     for qb in range(QB):
-                        per_qb[qb].append(
-                            got[qb] if got[qb] is not None else zero
-                        )
+                        per_qb[qb].append(col_rows[col_i][qb])
+                    col_i += 1
                 else:
                     for qb in range(QB):
                         pq = jnp.stack([
@@ -825,10 +829,37 @@ class SearchEngine(StreamingEngineMixin):
             return vals, jnp.take(flat_idx, idx)
 
         def run(queries, qpad_full, params, plan):
+            # Col buckets: one flat-pool pass per plan entry, each
+            # dispatched as its OWN program (the stable configuration;
+            # XLA async dispatch still pipelines them back-to-back),
+            # then the fused merge consumes the row tensors.  Tail
+            # slots outside the plan (partial batches) fill with
+            # zeros, masked out by _materialize_batch slicing to the
+            # real group (verdict item 3; cudasw4.cuh:1742-2103
+            # batches all partitions per upload the same way).
+            qdev = jnp.asarray(queries)
+            pdev = jnp.asarray(params)
+            col_rows = []
+            for tiles, kind in zip(self._bucket_tiles, kinds):
+                if not (use_pallas and kind == "col"):
+                    continue
+                got = [None] * QB
+                for s_part, slots in batch_col_scores(
+                    tiles, qdev, self._matrix_flat, pdev, QB, plan,
+                    interpret=INTERPRET,
+                ):
+                    for si, slot in enumerate(slots):
+                        got[slot] = s_part[si].reshape(-1)
+                ns = tiles.shape[0] * tiles.shape[2] * tiles.shape[3]
+                zero = jnp.zeros(ns, jnp.float32)
+                col_rows.append(tuple(
+                    r if r is not None else zero for r in got
+                ))
             return batch_fn(
-                queries, qpad_full, params,
+                qdev, qpad_full, pdev,
                 tuple(self._bucket_tiles), self._valid, self._flat_idx,
-                self._matrix_flat, self._matrix_f32, plan=plan,
+                self._matrix_flat, self._matrix_f32,
+                col_rows=tuple(col_rows),
             )
 
         return run
@@ -892,7 +923,12 @@ class SearchEngine(StreamingEngineMixin):
             # stream + LUT build); tail slots of a partial batch get
             # zero rows inside batch_fn, keeping the bucket-concat
             # layout (flat_idx mapping) intact.
-            plan = col_flat_plan(pads, limit=len(group))
+            # Pool size matches the path: NQC where passes are their
+            # own programs, FUSED_RTOT inside the mesh-fused program
+            # (both via _qcap_batch, which also bounds the group).
+            plan = col_flat_plan(
+                pads, limit=len(group), rtot=self._qcap_batch
+            )
         else:
             # Unused without col buckets; pin it so the fused batch
             # program compiles once, not per distinct query mix.
@@ -1057,13 +1093,7 @@ class SearchEngine(StreamingEngineMixin):
                     yield from materialize(pending.popleft())
                 yield self.scan(codes)
                 continue
-            qpad = np.full(self.qcap, self._pad, dtype=np.int32)
-            qpad[:nq] = codes
-            nq_pad = max(4, -(-nq // 4) * 4)
-            params = np.array(
-                [nq, self.scoring.gop, self.scoring.gex, nq_pad],
-                dtype=np.int32,
-            )
+            qpad, params = self._single_qpad(codes)
             t0 = time.perf_counter()
             vals, ids, tmaxes = self._scan_fn(
                 qpad, params, codes=codes, exact=not self.state16

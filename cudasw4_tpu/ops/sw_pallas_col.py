@@ -61,6 +61,18 @@ NQC = int(_os.environ.get("CUDASW4_TPU_COL_NQC", 3072))
 #: NQC=3072 state plus LUT and carry-io blocks measures stable at 118 MB).
 _VMEM_CAP = int(_os.environ.get("CUDASW4_TPU_COL_VMEM_CAP", 118 << 20))
 
+#: State-pool rows for flat-pool passes that run FUSED into one XLA
+#: program alongside other passes (the mesh-resident batch scan).  Many
+#: big-state col kernels in one program crash the TPU worker at scale
+#: on v5e (round 2: >= 64 MB x 16 passes at 1M x 2048; round 3
+#: re-confirmed with ~6 x 96 MB flat passes — 3 passes run fine, the
+#: engine's full fused batch does not; singles and eagerly dispatched
+#: per-pass programs are stable at any state size).  32 MB-state
+#: multi-pass programs were stable at every scale in round 2, so fused
+#: contexts cap the pool at 1024 rows; the single-chip resident and all
+#: streaming paths dispatch one program per pass and use the full NQC.
+FUSED_RTOT = int(_os.environ.get("CUDASW4_TPU_COL_FUSED_RTOT", 1024))
+
 
 
 def _sw_col_kernel(refs, *, LCk, U, take_init, emit_state,

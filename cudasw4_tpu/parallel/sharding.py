@@ -171,7 +171,7 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh,
 
 def build_sharded_batch_scan(
     mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, QB: int,
-    plan=(), pad: int | None = None,
+    plan=(), pad: int | None = None, rtot: int | None = None,
 ):
     """Batched variant of build_sharded_scan: scores QB queries per pass
     (cell buckets use the multi-query batch kernel, col buckets the
@@ -207,7 +207,7 @@ def build_sharded_batch_scan(
                 got = [None] * QB
                 for s_part, slots in batch_col_scores(
                     tiles, queries, mat_flat, params, QB, plan,
-                    interpret=INTERPRET, pad=pad,
+                    interpret=INTERPRET, pad=pad, rtot=rtot,
                 ):
                     for si, slot in enumerate(slots):
                         got[slot] = s_part[si].reshape(-1)
