@@ -25,10 +25,22 @@ OUTDIR=${OUTDIR:-benchmarks/results}
 mkdir -p "$OUTDIR"
 
 [ -f "$QUERIES" ] || python benchmarks/make_queries.py "$QUERIES"
-benchmarks/benchmarksetup.sh "$DBFOLDER" "$DBSRCURL" "$DBSRCFILENAME" "$DBSRCFULLPATH" "$DBPREFIX"
+benchmarks/benchmarksetup.sh "$DBFOLDER" "$DBSRCURL" "$DBSRCFILENAME" "$DBSRCFULLPATH" "$DBPREFIX" "$NAME"
 
 python -m cudasw4_tpu.cli.align \
     --query "$QUERIES" --db "$DBPREFIX" --top 0 --verbose --uploadFull \
     --prefetchDBFile --mat blosum62 \
     > "$OUTDIR/results_${NAME}.txt" 2>&1
 grep "Total time" "$OUTDIR/results_${NAME}.txt" || true
+
+# One-command real-data parity (BASELINE.md acceptance bar): with
+# REF_TSV pointing at a CUDASW++ 4.0 TSV of the same db + queries
+# (reference: ./align ... --tsv, main.cu:62-87), re-run top-10 in TSV
+# mode and tie-group-compare (tools/tsvcompare.py).
+if [ -n "${REF_TSV:-}" ]; then
+    python -m cudasw4_tpu.cli.align \
+        --query "$QUERIES" --db "$DBPREFIX" --top 10 --tsv \
+        --of "$OUTDIR/tsv_${NAME}.tsv" --mat blosum62 \
+        > /dev/null 2>&1
+    python tools/tsvcompare.py "$REF_TSV" "$OUTDIR/tsv_${NAME}.tsv"
+fi
