@@ -183,6 +183,12 @@ class PackedDB:
     buckets: list[PackedBucket]
     num_sequences: int
     total_real_chars: int  # sum of real lengths (GCUPS denominator)
+    #: Per-bucket [(t_start, t_stop), ...] tile ranges actually present
+    #: (partial per-host stores); None = every tile.  Tiles outside the
+    #: ranges read as zeros from the sparse store and must never be
+    #: consumed — the engine only allows partial stores on the streamed
+    #: chunk-sharded path whose local rows the ranges were derived from.
+    tile_ranges: list | None = None
 
     @property
     def total_padded_chars(self) -> int:
@@ -353,6 +359,66 @@ def _tiles_bin_path(path: str) -> str:
     return path + ".tiles"
 
 
+def _norm_ranges(ranges, T: int) -> list:
+    """Clip tile ranges to [0, T), drop empties, sort and merge
+    overlapping/adjacent — the canonical form stored in manifests and
+    compared by the coverage checks."""
+    rs = sorted((max(0, int(a)), min(T, int(b))) for a, b in ranges)
+    out: list = []
+    for a, b in rs:
+        if a >= b:
+            continue
+        if out and a <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], b))
+        else:
+            out.append((a, b))
+    return out
+
+
+def _ranges_cover(have: list, need: list) -> bool:
+    """True if every range in ``need`` lies inside some range of
+    ``have`` (both normalized: sorted, merged)."""
+    i = 0
+    for a, b in need:
+        while i < len(have) and have[i][1] < b:
+            i += 1
+        if i == len(have) or have[i][0] > a:
+            return False
+    return True
+
+
+def _ranges_subtract(need: list, have: list) -> list:
+    """Normalized ``need`` minus normalized ``have``: the ranges still
+    to be packed when extending a partial store."""
+    out = []
+    for a, b in need:
+        cur = a
+        for c, d in have:
+            if d <= cur or c >= b:
+                continue
+            if c > cur:
+                out.append((cur, c))
+            cur = max(cur, d)
+            if cur >= b:
+                break
+        if cur < b:
+            out.append((cur, b))
+    return out
+
+
+def _bucket_meta_arrays(start: int, stop: int, NS: int, lengths):
+    """seq_index/lengths [T, NS] for one bucket, computed analytically —
+    byte-identical to stitching _pack_slab outputs (slot s of tile t is
+    sequence start + t*NS + s; slab boundaries are NS multiples)."""
+    cnt = stop - start
+    T = -(-cnt // NS)
+    sidx = np.full(T * NS, -1, dtype=np.int32)
+    sidx[:cnt] = np.arange(start, stop, dtype=np.int32)
+    slen = np.zeros(T * NS, dtype=np.int32)
+    slen[:cnt] = lengths[start:stop]
+    return sidx.reshape(T, NS), slen.reshape(T, NS)
+
+
 class _store_build_lock:
     """Interprocess lock serialising tile-store builds: on a multi-chip
     host every process calls set_database with the same pack_cache path,
@@ -424,11 +490,18 @@ def save_packed(packed: PackedDB, path: str,
 
 
 def load_packed(path: str, expect_sequences: int, expect_chars: int,
-                mmap: bool = True, expect_pad: int = UNKNOWN):
+                mmap: bool = True, expect_pad: int = UNKNOWN,
+                need_ranges=None):
     """Load a tile store written by save_packed / pack_db_to_store;
     returns None if missing or stale (version, database shape, or
     padding-code mismatch).  ``mmap`` True keeps tiles disk-backed
-    (bounded RAM, the default); False loads them eagerly."""
+    (bounded RAM, the default); False loads them eagerly.
+
+    ``need_ranges``: per-bucket tile ranges this caller will consume.
+    None requires a complete store; "any" accepts any coverage (the
+    store-build extension path inspects what is present); otherwise a
+    partial per-host store is accepted iff its recorded ranges cover
+    the requested ones."""
     if not os.path.exists(path) or not os.path.exists(_tiles_bin_path(path)):
         return None
     try:
@@ -441,13 +514,40 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int,
             or pad != expect_pad
         ):
             return None
+        if (
+            need_ranges is not None
+            and not isinstance(need_ranges, str)
+            and len(need_ranges) != nb
+        ):
+            return None
         bin_path = _tiles_bin_path(path)
         total = os.path.getsize(bin_path)
         flat = np.memmap(bin_path, dtype=np.int8, mode="r", shape=(total,))
         buckets = []
+        ranges = []
+        partial = False
         for i in range(nb):
             L, NS, kk, T, off = (int(x) for x in z[f"b{i}_info"])
             kernel = _KERNEL_NAME[kk]
+            rk = f"b{i}_ranges"
+            have = (
+                _norm_ranges(
+                    [tuple(r) for r in z[rk].reshape(-1, 2)], T
+                )
+                if rk in z.files
+                else [(0, T)] if T else []
+            )
+            ranges.append(have)
+            if have != ([(0, T)] if T else []):
+                partial = True
+            if need_ranges != "any":
+                need = (
+                    _norm_ranges(need_ranges[i], T)
+                    if need_ranges is not None
+                    else [(0, T)] if T else []
+                )
+                if not _ranges_cover(have, need):
+                    return None
             shape = (
                 (T, L, 32, NS // 32) if kernel in ("cell", "col")
                 else (T, L, NS)
@@ -464,22 +564,27 @@ def load_packed(path: str, expect_sequences: int, expect_chars: int,
                 )
             )
         return PackedDB(
-            buckets=buckets, num_sequences=nseq, total_real_chars=nchars
+            buckets=buckets, num_sequences=nseq, total_real_chars=nchars,
+            tile_ranges=ranges if partial else None,
         )
     except Exception:
         return None
 
 
 def stream_manifest(codec: str, pad_code: int, num_sequences: int,
-                    total_chars: int, layout) -> dict:
+                    total_chars: int, layout, ranges=None) -> dict:
     """The transfer-pack sidecar manifest (single source of truth for
     the three places that write or validate it: pack_db_to_store's
     inline build, build_stream_sidecar, and the engine's lazy
-    _build_stream_pack).  ``layout``: iterable of (L, NS, kernel, T)."""
+    _build_stream_pack).  ``layout``: iterable of (L, NS, kernel, T).
+
+    ``ranges``: per-bucket tile ranges actually packed (per-host partial
+    sidecars); the key is only emitted when coverage is partial, so full
+    manifests stay byte-identical to pre-range ones."""
     from ..ops import pack5 as p5
 
     words_for = p5.CODECS[codec][1]
-    return {
+    man = {
         "version": 2,
         "codec": codec,
         "pad": int(pad_code),
@@ -493,22 +598,53 @@ def stream_manifest(codec: str, pad_code: int, num_sequences: int,
             for L, NS, kernel, T in layout
         ],
     }
+    if ranges is not None:
+        Ts = [int(T) for _, _, _, T in layout]
+        norm = [_norm_ranges(r, T) for r, T in zip(ranges, Ts)]
+        if norm != [[(0, T)] if T else [] for T in Ts]:
+            man["ranges"] = [[[int(a), int(b)] for a, b in r]
+                             for r in norm]
+    return man
 
 
 def _packed_layout(packed: PackedDB):
     return [(b.L, b.NS, b.kernel, b.num_tiles) for b in packed.buckets]
 
 
-def stream_sidecar_fresh(path: str, manifest: dict) -> bool:
+def stream_sidecar_fresh(path: str, manifest: dict,
+                         need_ranges=None) -> bool:
     """True if <path>.pack5/manifest.json matches ``manifest`` (i.e. the
-    transfer-pack sidecar is present and valid for this store)."""
+    transfer-pack sidecar is present and valid for this store) AND its
+    recorded tile ranges (absent = complete) cover ``need_ranges``
+    (None = complete coverage required; "any" = layout match only, the
+    extension path's probe).  Comparison ignores each side's "ranges"
+    key — coverage, not equality, is the correctness condition."""
     import json
 
     try:
         with open(os.path.join(path + ".pack5", "manifest.json")) as f:
-            return json.load(f) == manifest
+            stored = json.load(f)
     except (OSError, ValueError):
         return False
+    s_ranges = stored.pop("ranges", None)
+    expect = {k: v for k, v in manifest.items() if k != "ranges"}
+    if stored != expect:
+        return False
+    if need_ranges == "any":
+        return True
+    Ts = [int(b["T"]) for b in expect["buckets"]]
+    have = (
+        [_norm_ranges(r, T) for r, T in zip(s_ranges, Ts)]
+        if s_ranges is not None
+        else [[(0, T)] if T else [] for T in Ts]
+    )
+    if need_ranges is None:
+        need = [[(0, T)] if T else [] for T in Ts]
+    else:
+        if len(need_ranges) != len(Ts):
+            return False
+        need = [_norm_ranges(r, T) for r, T in zip(need_ranges, Ts)]
+    return all(_ranges_cover(h, nd) for h, nd in zip(have, need))
 
 
 def build_stream_sidecar(
@@ -556,6 +692,9 @@ def build_stream_sidecar(
         manifest = stream_manifest(
             stream_codec, pad_code, packed.num_sequences,
             packed.total_real_chars, _packed_layout(packed),
+            # A partial raw store packs zero rows for un-owned tiles;
+            # the sidecar must claim only what the store really holds.
+            ranges=packed.tile_ranges,
         )
         mtmp = os.path.join(sidecar, f"manifest.tmp.{os.getpid()}")
         with open(mtmp, "w") as mf:
@@ -569,7 +708,7 @@ def build_stream_sidecar(
 def pack_db_to_store(
     db, path: str, edges=None, slab_tiles: int = 64,
     use_native: bool = True, pad_code: int = UNKNOWN,
-    stream_codec: str | None = None,
+    stream_codec: str | None = None, tile_ranges=None,
 ) -> PackedDB:
     """Pack a length-sorted database directly into a disk-backed tile
     store, holding at most one slab (``slab_tiles`` tiles) of tile data
@@ -583,9 +722,19 @@ def pack_db_to_store(
     ~100 GB.  Best-effort: a sidecar write failure disables it and the
     raw store build continues.
 
+    ``tile_ranges``: per-plan-bucket [(t_start, t_stop), ...] — pack
+    only those tiles into a sparse tile file of full logical size (the
+    per-host store: on a multi-host streamed scan each process only
+    ever reads its own chunk-shard rows, so packing the rest is wasted
+    disk and time — the analog of the reference's per-GPU partition
+    assignment, cudasw4.cuh:1087-1144).  The manifest records the
+    ranges; a later call with more ranges extends the store in place
+    (range union, under the build lock — the shared-path multi-process
+    layout).  None packs everything.
+
     Returns the memmap-backed PackedDB (same result as
     ``save_packed(pack_db(db), path); load_packed(path)``, byte-identical
-    store).
+    store within the packed ranges).
     """
     lengths = np.asarray(db.lengths, dtype=np.int64)
     offsets = np.asarray(db.offsets, dtype=np.int64)
@@ -632,6 +781,19 @@ def pack_db_to_store(
         (L, NS, kernel, -(-(stop - start) // NS))
         for start, stop, L, NS, kernel in plans
     ]
+    Ts = [T for _, _, _, T in want_layout]
+    if tile_ranges is not None and len(tile_ranges) != len(plans):
+        raise ValueError(
+            f"tile_ranges has {len(tile_ranges)} buckets, plan has "
+            f"{len(plans)}"
+        )
+    full_req = [[(0, T)] if T else [] for T in Ts]
+    req = (
+        [_norm_ranges(r, T) for r, T in zip(tile_ranges, Ts)]
+        if tile_ranges is not None
+        else full_req
+    )
+    partial_req = req != full_req
 
     with _store_build_lock(path):
         # Another process may have built the store while we waited —
@@ -639,9 +801,24 @@ def pack_db_to_store(
         # edges (a store built under different edges/tuning must
         # rebuild, not silently return).
         prior = load_packed(
-            path, n, int(lengths.sum()), expect_pad=pad_code
+            path, n, int(lengths.sum()), expect_pad=pad_code,
+            need_ranges="any",
         )
         if prior is not None and _packed_layout(prior) == want_layout:
+            have = prior.tile_ranges or full_req
+            missing = [_ranges_subtract(r, h) for r, h in zip(req, have)]
+            if any(missing):
+                # Range-union extension: another host's (or an earlier)
+                # build packed different tile ranges into this store —
+                # pack only the missing ones in place (data first; the
+                # manifest publishes the union afterwards, so a crash
+                # mid-extension can never claim unwritten tiles).
+                del prior  # release the memmap before writing
+                return _extend_store(
+                    path, plans, Ts, missing, have, req, pack_slab,
+                    slab_tiles, stream_codec, pad_code, n,
+                    int(lengths.sum()), want_layout,
+                )
             # A matching prior store may still lack the requested
             # transfer-pack sidecar (e.g. it was built without a
             # stream_codec).  Build it from the prior's memmap tiles —
@@ -653,7 +830,9 @@ def pack_db_to_store(
                     stream_codec, pad_code, n, int(lengths.sum()),
                     _packed_layout(prior),
                 )
-                if not stream_sidecar_fresh(path, manifest):
+                if not stream_sidecar_fresh(
+                    path, manifest, need_ranges=req
+                ):
                     build_stream_sidecar(
                         prior, path, stream_codec, pad_code=pad_code,
                         slab_tiles=slab_tiles,
@@ -688,9 +867,14 @@ def pack_db_to_store(
         nb = 0
         tmp_bin = f"{_tiles_bin_path(path)}.tmp.{os.getpid()}"
         with open(tmp_bin, "wb") as f:
-            for start, stop, L, NS, kernel in plans:
+            if partial_req:
+                # Per-host store: sparse file of full logical size —
+                # same offsets as a complete store, only the requested
+                # ranges' blocks ever hit the disk.
+                f.truncate(sum(T * L * NS for (_, _, L, NS, _), T
+                               in zip(plans, Ts)))
+            for (start, stop, L, NS, kernel), rq in zip(plans, req):
                 T = -(-(stop - start) // NS)
-                idx_parts, len_parts = [], []
                 pk_mm = None
                 if sidecar and T:
                     W = s_words(L * NS)
@@ -701,21 +885,55 @@ def pack_db_to_store(
                         )
                     except (OSError, ValueError):
                         sidecar = None
-                for a in range(start, stop, slab_tiles * NS):
-                    b = min(a + slab_tiles * NS, stop)
-                    tiles, sidx, slen = pack_slab(a, b, L, NS)
-                    # zero-copy write straight from the slab buffer
-                    f.write(np.ascontiguousarray(tiles).data)
-                    if pk_mm is not None and sidecar:
-                        t0 = (a - start) // NS
-                        try:
-                            s_pack(tiles, out=pk_mm[t0 : t0 + len(tiles)])
-                        except OSError:
-                            sidecar = None
-                    idx_parts.append(sidx.copy())
-                    len_parts.append(slen.copy())
-                arrays[f"b{nb}_idx"] = np.concatenate(idx_parts)
-                arrays[f"b{nb}_len"] = np.concatenate(len_parts)
+                if partial_req:
+                    # seq_index/lengths are metadata-only (no char reads)
+                    # and cover the whole bucket even when only some tile
+                    # ranges pack — byte-identical to the stitched
+                    # pack_slab outputs of a full build.
+                    sidx_all, slen_all = _bucket_meta_arrays(
+                        start, stop, NS, lengths32
+                    )
+                    arrays[f"b{nb}_idx"] = sidx_all
+                    arrays[f"b{nb}_len"] = slen_all
+                    arrays[f"b{nb}_ranges"] = np.asarray(
+                        rq, np.int64
+                    ).reshape(-1, 2)
+                    for t0r, t1r in rq:
+                        lo = start + t0r * NS
+                        hi = min(stop, start + t1r * NS)
+                        for a in range(lo, hi, slab_tiles * NS):
+                            b = min(a + slab_tiles * NS, hi)
+                            tiles, _, _ = pack_slab(a, b, L, NS)
+                            t0 = (a - start) // NS
+                            f.seek(offset + t0 * L * NS)
+                            f.write(np.ascontiguousarray(tiles).data)
+                            if pk_mm is not None and sidecar:
+                                try:
+                                    s_pack(
+                                        tiles,
+                                        out=pk_mm[t0 : t0 + len(tiles)],
+                                    )
+                                except OSError:
+                                    sidecar = None
+                else:
+                    idx_parts, len_parts = [], []
+                    for a in range(start, stop, slab_tiles * NS):
+                        b = min(a + slab_tiles * NS, stop)
+                        tiles, sidx, slen = pack_slab(a, b, L, NS)
+                        # zero-copy write straight from the slab buffer
+                        f.write(np.ascontiguousarray(tiles).data)
+                        if pk_mm is not None and sidecar:
+                            t0 = (a - start) // NS
+                            try:
+                                s_pack(
+                                    tiles, out=pk_mm[t0 : t0 + len(tiles)]
+                                )
+                            except OSError:
+                                sidecar = None
+                        idx_parts.append(sidx.copy())
+                        len_parts.append(slen.copy())
+                    arrays[f"b{nb}_idx"] = np.concatenate(idx_parts)
+                    arrays[f"b{nb}_len"] = np.concatenate(len_parts)
                 arrays[f"b{nb}_info"] = np.array(
                     [L, NS, _KERNEL_CODE[kernel], T, offset], np.int64
                 )
@@ -742,6 +960,7 @@ def pack_db_to_store(
                     (L, NS, kernel, -(-(stop - start) // NS))
                     for start, stop, L, NS, kernel in plans
                 ],
+                ranges=req if partial_req else None,
             )
             try:
                 mtmp = os.path.join(sidecar, f"manifest.tmp.{os.getpid()}")
@@ -750,7 +969,121 @@ def pack_db_to_store(
                 os.replace(mtmp, os.path.join(sidecar, "manifest.json"))
             except OSError:
                 pass
-    return load_packed(path, n, int(lengths.sum()), expect_pad=pad_code)
+    return load_packed(
+        path, n, int(lengths.sum()), expect_pad=pad_code, need_ranges=req
+    )
+
+
+def _extend_store(path, plans, Ts, missing, have, req, pack_slab,
+                  slab_tiles, stream_codec, pad_code, n, nchars,
+                  want_layout):
+    """Pack ``missing`` tile ranges into an existing (sparse) store in
+    place and publish the have∪req range union in the manifest.  Called
+    under the build lock by pack_db_to_store; data is written before the
+    manifest so an interrupted extension never claims unwritten tiles."""
+    sc_fresh = False
+    e_words = e_pack = None
+    if stream_codec is not None:
+        from ..ops import pack5 as p5
+
+        _cpw, e_words, e_pack = p5.CODECS[stream_codec][:3]
+        # Layout-only probe: a partial sidecar is extendable in place
+        # (rows are tile-indexed); its claimed ranges update below.
+        sc_fresh = stream_sidecar_fresh(
+            path, stream_manifest(
+                stream_codec, pad_code, n, nchars, want_layout
+            ),
+            need_ranges="any",
+        )
+    with open(_tiles_bin_path(path), "r+b") as f:
+        offset = 0
+        for bi, ((start, stop, L, NS, kernel), miss, T) in enumerate(
+            zip(plans, missing, Ts)
+        ):
+            pk_mm = None
+            if sc_fresh and miss and T:
+                try:
+                    pk_mm = np.memmap(
+                        os.path.join(path + ".pack5", f"b{bi}.bin"),
+                        np.int32, mode="r+", shape=(T, e_words(L * NS)),
+                    )
+                except (OSError, ValueError):
+                    # A half-extended sidecar must not keep validating:
+                    # drop the manifest so the tail path rebuilds it.
+                    sc_fresh = False
+                    try:
+                        os.remove(
+                            os.path.join(path + ".pack5", "manifest.json")
+                        )
+                    except OSError:
+                        pass
+            for t0r, t1r in miss:
+                lo = start + t0r * NS
+                hi = min(stop, start + t1r * NS)
+                for a in range(lo, hi, slab_tiles * NS):
+                    b = min(a + slab_tiles * NS, hi)
+                    tiles, _, _ = pack_slab(a, b, L, NS)
+                    t0 = (a - start) // NS
+                    f.seek(offset + t0 * L * NS)
+                    f.write(np.ascontiguousarray(tiles).data)
+                    if pk_mm is not None:
+                        e_pack(tiles, out=pk_mm[t0 : t0 + len(tiles)])
+            del pk_mm
+            offset += T * L * NS
+    z = np.load(path)
+    arrays = {k: z[k] for k in z.files}
+    for i, (h, r) in enumerate(zip(have, req)):
+        arrays[f"b{i}_ranges"] = np.asarray(
+            _norm_ranges(list(h) + list(r), Ts[i]), np.int64
+        ).reshape(-1, 2)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fm:
+        np.savez(fm, **arrays)
+    os.replace(tmp, path)
+    if sc_fresh:
+        # The sidecar's claims grow by exactly the rows written here —
+        # its prior coverage may be narrower than the raw store's (e.g.
+        # a lazily built per-host sidecar), so union against ITS ranges.
+        import json
+
+        man_path = os.path.join(path + ".pack5", "manifest.json")
+        try:
+            with open(man_path) as mf:
+                sc_have = json.load(mf).get("ranges")
+            sc_have = (
+                [_norm_ranges([tuple(x) for x in r], T)
+                 for r, T in zip(sc_have, Ts)]
+                if sc_have is not None
+                else [[(0, T)] if T else [] for T in Ts]
+            )
+            union = [
+                _norm_ranges(list(h) + list(m), T)
+                for h, m, T in zip(sc_have, missing, Ts)
+            ]
+            mtmp = f"{man_path}.tmp.{os.getpid()}"
+            with open(mtmp, "w") as mf:
+                json.dump(
+                    stream_manifest(
+                        stream_codec, pad_code, n, nchars,
+                        want_layout, ranges=union,
+                    ),
+                    mf,
+                )
+            os.replace(mtmp, man_path)
+        except (OSError, ValueError):
+            pass  # stale claims under-report; the next check rebuilds
+    out = load_packed(
+        path, n, nchars, expect_pad=pad_code, need_ranges=req
+    )
+    if stream_codec is not None and not sc_fresh and out is not None:
+        # Sidecar absent or stale for this layout: (re)build it whole —
+        # unwritten sparse regions pack as zero rows that the chunk
+        # sharding never ships off-host.
+        build_stream_sidecar(
+            out, path, stream_codec, pad_code=pad_code,
+            slab_tiles=slab_tiles,
+        )
+    return out
 
 
 def unpack_tile_sequences(bucket: PackedBucket, tile: int) -> list[np.ndarray]:

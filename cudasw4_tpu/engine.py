@@ -177,25 +177,22 @@ class SearchEngine(StreamingEngineMixin):
         self._sharded_tiles = None
         self._sharded_idx = None
         if pack_cache:
-            from .db.packing import load_packed
-
-            self.packed = load_packed(
-                pack_cache, db.num_sequences, int(np.sum(db.lengths)),
-                expect_pad=self._pad,
+            from .db.packing import (
+                load_packed,
+                pack_db_to_store,
+                plan_buckets,
             )
-            if self.packed is not None and self.verbose:
-                print(f"Loaded packed tiles from {pack_cache}")
-        if self.packed is None and pack_cache:
-            # Pack straight into the disk-backed tile store: bounded host
-            # RAM (one slab in flight) and the result is memmap-backed, so
-            # streaming scans read tiles from disk, not RAM.
-            from .db.packing import pack_db_to_store, plan_buckets
 
             # Pre-compute the streaming decision from the bucket plan (no
             # packing required) so the transfer-pack sidecar builds inline
             # with the store — one pass while each slab is hot in RAM,
-            # instead of a later full re-read of the raw tile file.
+            # instead of a later full re-read of the raw tile file — and,
+            # multiprocess, so the store can be per-host: only the tile
+            # ranges this process's chunk shards consume are packed
+            # (sparse full-offset file; kill switch
+            # CUDASW4_TPU_HOST_RANGES=0).
             stream_codec = None
+            tile_ranges = None
             try:
                 plans = plan_buckets(
                     np.asarray(db.lengths, np.int64), self.bucket_edges
@@ -211,12 +208,29 @@ class SearchEngine(StreamingEngineMixin):
                         os.environ.get("CUDASW4_TPU_STREAM_PACK", "1"),
                         int(self._pad),
                     )
+                    if os.environ.get(
+                        "CUDASW4_TPU_HOST_RANGES", "1"
+                    ) == "1":
+                        tile_ranges = self._host_tile_ranges(
+                            plans, self._mesh_ndev()
+                        )
             except (ValueError, TypeError):
                 pass  # unsorted/odd metadata: raw store build decides
+            self.packed = load_packed(
+                pack_cache, db.num_sequences, int(np.sum(db.lengths)),
+                expect_pad=self._pad, need_ranges=tile_ranges,
+            )
+            if self.packed is not None and self.verbose:
+                print(f"Loaded packed tiles from {pack_cache}")
+        if self.packed is None and pack_cache:
+            # Pack straight into the disk-backed tile store: bounded host
+            # RAM (one slab in flight) and the result is memmap-backed, so
+            # streaming scans read tiles from disk, not RAM.
             try:
                 self.packed = pack_db_to_store(
                     db, pack_cache, edges=self.bucket_edges,
                     pad_code=self._pad, stream_codec=stream_codec,
+                    tile_ranges=tile_ranges,
                 )
             except OSError:
                 self.packed = None  # read-only db dir: cache is best-effort
@@ -230,6 +244,20 @@ class SearchEngine(StreamingEngineMixin):
         self._matrix_f32 = jnp.asarray(self.scoring.matrix, dtype=jnp.float32)
         self._stream_fns = {}
         ndev = self._mesh_ndev()
+        if (
+            getattr(self.packed, "tile_ranges", None)
+            and not self._db_exceeds_device_memory(ndev)
+        ):
+            # Plan/budget drift: the engine decided *resident* after all,
+            # whose tile->device layout differs from the streamed
+            # chunk-shard rows the partial per-host store was built for —
+            # extend the store to full coverage before any tile is read.
+            from .db.packing import pack_db_to_store as _pdts
+
+            self.packed = _pdts(
+                db, pack_cache, edges=self.bucket_edges,
+                pad_code=self._pad,
+            )
         if self._db_exceeds_device_memory(ndev):
             # DBs beyond (per-chip budget x mesh size) stream host->HBM per
             # scan, the analog of the reference's batched copy pipeline

@@ -33,6 +33,49 @@ from .ops import bucket_kind, score_bucket, sw_pallas_cell, sw_pallas_col
 class StreamingEngineMixin:
     """Streaming scan methods of SearchEngine (see module docstring)."""
 
+    def _host_tile_ranges(self, plans, ndev: int):
+        """Per-plan-bucket tile ranges this process's devices consume on
+        the streamed chunk-sharded path, or None when every tile is
+        needed (single process, or all mesh devices local).
+
+        Streamed chunk rows map 1:1 to tiles (chunk at t0, row r = tile
+        t0 + r; _stream_chunks) and shard over mesh positions in order
+        (P(axis) over mesh.devices.flat; _put_chunk), so the process
+        needs exactly the union over chunks of its local devices' row
+        slices.  The pinned resident prefix reuses whole chunk shapes
+        with the same sharding, so its rows are covered too.  Feeding
+        these to pack_db_to_store builds the per-host store: each host
+        packs (and stores) only ~1/num_hosts of the tiles — the analog
+        of the reference's per-GPU partition assignment
+        (/root/reference/src/cudasw4.cuh:1087-1144)."""
+        if ndev <= 1 or jax.process_count() <= 1 or self.mesh is None:
+            return None
+        from types import SimpleNamespace
+
+        from .db.packing import _norm_ranges
+
+        me = jax.process_index()
+        flat = list(self.mesh.devices.flat)
+        mine = [i for i, d in enumerate(flat) if d.process_index == me]
+        if len(mine) == len(flat):
+            return None
+        out = []
+        for start, stop, L, NS, kernel in plans:
+            T = -(-(stop - start) // NS)
+            ct = self._chunk_tiles(
+                SimpleNamespace(L=L, NS=NS, num_tiles=T), ndev
+            )
+            per = ct // ndev
+            rs = []
+            for t0 in range(0, T, ct):
+                for d in mine:
+                    a = t0 + d * per
+                    b = min(t0 + (d + 1) * per, T)
+                    if a < b:
+                        rs.append((a, b))
+            out.append(_norm_ranges(rs, T))
+        return out
+
     def _chunk_tiles(self, b, ndev: int) -> int:
         """Tiles per streamed chunk for one bucket (fixed shape; multiple
         of the mesh size so chunks shard evenly).  Chunks are capped by
@@ -504,22 +547,29 @@ class StreamingEngineMixin:
         # Total residues distinguishes DBs whose bucket geometry happens
         # to coincide (same validation pair as the main tile cache,
         # db/packing.py load_packed).
-        from .db.packing import _packed_layout, stream_manifest
+        from .db.packing import (
+            _packed_layout,
+            stream_manifest,
+            stream_sidecar_fresh,
+        )
 
+        # A per-host partial raw store can only back a sidecar claiming
+        # the same ranges — and that is also all this process ever
+        # ships (its chunk-shard rows), so coverage of packed.tile_ranges
+        # is the correctness condition, not complete coverage.
+        own_ranges = getattr(self.packed, "tile_ranges", None)
         expect = stream_manifest(
             codec, int(self._pad), int(self.db.num_sequences),
             int(np.asarray(self.db.lengths, np.int64).sum()),
-            _packed_layout(self.packed),
+            _packed_layout(self.packed), ranges=own_ranges,
         )
         sidecar = pack_cache + ".pack5" if pack_cache else None
         fresh = False
         if sidecar:
             man_path = os.path.join(sidecar, "manifest.json")
-            try:
-                with open(man_path) as f:
-                    fresh = json.load(f) == expect
-            except (OSError, ValueError):
-                fresh = False
+            fresh = stream_sidecar_fresh(
+                pack_cache, expect, need_ranges=own_ranges
+            )
             if not fresh:
                 # Invalidate BEFORE overwriting bucket files: an
                 # interrupted re-pack (e.g. codec switch killed mid-way)

@@ -85,6 +85,34 @@ def main():
     sres = seng.scan(queries[0])
     print(f"STREAM {pid} {sres.scores} {sres.reference_ids}", flush=True)
 
+    # Per-host tile store (round-2 verdict item 10): with its own cache
+    # path (the per-host local-disk layout) each process packs only its
+    # chunk-shard tile ranges — a partial, sparse store — and the
+    # streamed scan still matches.  The shared-path engine above
+    # exercises the complementary case: both processes request their
+    # ranges on ONE path and the second extends the store in place
+    # (range union under the build lock).
+    if pack_cache:
+        own_cache = f"{pack_cache}.host{pid}"
+        seng2 = SearchEngine(
+            num_top=10, qcap=64, mesh=global_mesh(), max_device_bytes=1,
+            stream_chunk_bytes=1 << 14,
+        )
+        seng2.set_database(db, pack_cache=own_cache)
+        assert seng2.streaming
+        if nproc > 1:
+            assert seng2.packed.tile_ranges is not None, (
+                "per-host store should be partial"
+            )
+            st = os.stat(own_cache + ".tiles")
+            logical = os.path.getsize(own_cache + ".tiles")
+            assert st.st_blocks * 512 < logical, (
+                st.st_blocks * 512, logical,
+            )
+        hres = seng2.scan(queries[0])
+        print(f"HOSTSTORE {pid} {hres.scores} {hres.reference_ids}",
+              flush=True)
+
     # Chunked-col long query across the distributed mesh: shrink the
     # kernel constants (as dryrun_multichip does) so interpret-mode
     # Pallas stays cheap, force a col bucket, and scan a query spanning

@@ -62,9 +62,11 @@ def test_two_process_cpu_cluster(tmp_path):
         lines = [
             line.split(None, 2)[2]
             for line in out.splitlines()
-            if line.startswith(("RESULT", "BATCH", "STREAM", "LONGCOL"))
+            if line.startswith(
+                ("RESULT", "BATCH", "STREAM", "HOSTSTORE", "LONGCOL")
+            )
         ]
-        assert len(lines) == 7, out
+        assert len(lines) == 8, out
         assert f"DONE {pid}" in out
         return lines
 
@@ -75,7 +77,8 @@ def test_two_process_cpu_cluster(tmp_path):
 
     # And they match a single-process 8-device run of the same DB.
     single = subprocess.run(
-        [sys.executable, worker, "", "1", "0", "8"],
+        [sys.executable, worker, "", "1", "0", "8",
+         str(tmp_path / "single.tpupack.npz")],
         capture_output=True,
         text=True,
         env=env,
