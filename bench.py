@@ -1,11 +1,13 @@
 """Benchmark entry point (driver contract: prints ONE JSON line).
 
 Peak-performance protocol modelled on the reference's runpeakbenchmark.sh
-(/root/reference/runpeakbenchmark.sh): a pseudo database of identical
-sequences scanned by the reference benchmark set's 20 query lengths
-(144..5478, see benchmarks/make_queries.py), --top 0 semantics.  Reports
-the *total* GCUPS (sum of query lengths x database residues / total
-seconds, /root/reference/src/cudasw4.cuh:826-839) on the real chip.
+(/root/reference/runpeakbenchmark.sh:19-91): pseudo databases of 1M
+identical sequences, one per length in {128,256,512,768,1024,2048}, each
+scanned by the reference benchmark set's 20 query lengths (144..5478,
+see benchmarks/make_queries.py), --top 0 semantics.  Reports the
+aggregate GCUPS over the whole sweep (total cells / total seconds;
+GCUPS formula /root/reference/src/cudasw4.cuh:826-839) on the real chip.
+Per-config lines go to stderr.
 
 vs_baseline normalises against a nominal 1000 GCUPS — the order of
 magnitude of the published CUDASW++ 4.0 single-GPU peak on A100-class
@@ -35,8 +37,11 @@ def _init_devices_watchdog(timeout_s: float = 600.0):
 
     def watch():
         if not done.wait(timeout_s):
+            mode = os.environ.get("BENCH_MODE", "sweep")
+            name = ("peak_sweep_total_gcups_single_chip"
+                    if mode == "sweep" else "peak_total_gcups_single_chip")
             print(json.dumps({
-                "metric": "peak_total_gcups_single_chip",
+                "metric": name,
                 "value": 0.0,
                 "unit": "GCUPS",
                 "vs_baseline": 0.0,
@@ -81,12 +86,16 @@ def _run_config(num, length, queries, reps):
 def main() -> None:
     num = int(os.environ.get("BENCH_NUM_SEQS", 500_000))
     length = int(os.environ.get("BENCH_SEQ_LEN", 256))
-    reps = int(os.environ.get("BENCH_REPS", 2))
-    # BENCH_MODE=sweep runs the reference protocol's full length sweep
-    # (runpeakbenchmark.sh: 1M x {128..2048}) and reports the aggregate
-    # GCUPS; the default single-config mode stays the round-over-round
-    # comparable metric.
-    mode = os.environ.get("BENCH_MODE", "peak")
+    # The default mode is the REFERENCE protocol: the full 1M x
+    # {128..2048} pseudo-DB length sweep (runpeakbenchmark.sh:19-91),
+    # reported as the aggregate GCUPS (sum cells / sum seconds) — the
+    # honest headline, not the friendliest config.  BENCH_MODE=peak
+    # keeps the old single-config metric for round-over-round A/Bs.
+    mode = os.environ.get("BENCH_MODE", "sweep")
+    # One timed pass per config by default in sweep mode (each config is
+    # separately warmed; a full extra rep costs ~12 chip-minutes for <1
+    # GCUPS of spread), two in single-config mode.
+    reps = int(os.environ.get("BENCH_REPS", 1 if mode == "sweep" else 2))
 
     import numpy as np
 
