@@ -1173,12 +1173,19 @@ class SearchEngine(StreamingEngineMixin):
             if codec is None or b.tiles.size < self._resident_pack_min:
                 out.append(jnp.asarray(b.tiles))
                 continue
-            pack, unpack = CODECS[codec][2], CODECS[codec][3]
+            unpack = CODECS[codec][3]
             # Feed the packed host array straight to the jitted unpack —
             # the jit-managed input transfer is the fast path on this
             # runtime (an explicit device_put chained into a jit call
             # measured 4x slower; see docs/PERFORMANCE.md pack5 notes).
-            out.append(unpack(pack(b.tiles), tuple(b.tiles.shape[1:])))
+            # Packing goes through a temp memmap so peak host RAM stays
+            # slab-bounded for multi-GB buckets.
+            from .ops.pack5 import pack_to_tempmm
+
+            out.append(
+                unpack(pack_to_tempmm(b.tiles, codec),
+                       tuple(b.tiles.shape[1:]))
+            )
         return out
 
     def _mesh_ndev(self) -> int:

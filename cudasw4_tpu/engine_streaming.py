@@ -183,8 +183,8 @@ class StreamingEngineMixin:
                     codec = None
                 try:
                     if ndev > 1:
-                        xdev = jax.device_put(chunk, self._chunk_sharding)
-                        sdev = jax.device_put(sidx, self._chunk_sharding)
+                        xdev = self._put_sharded(chunk)
+                        sdev = self._put_sharded(sidx)
                     else:
                         xdev = chunk if codec else jax.device_put(chunk)
                         sdev = sidx
@@ -456,7 +456,7 @@ class StreamingEngineMixin:
                 )
                 sdev = (
                     sidx if isinstance(sidx, jax.Array)
-                    else jax.device_put(sidx, self._chunk_sharding)
+                    else self._put_sharded(sidx)
                 )
                 vg, ig = fn(tuple(rows), sdev)
                 pending.append(("cand", vg, ig))
@@ -644,6 +644,26 @@ class StreamingEngineMixin:
             )
         return entries
 
+    def _put_sharded(self, arr):
+        """Host->device transfer of ``arr`` with the chunk sharding.
+
+        Multiprocess meshes build the global array per process with
+        ``jax.make_array_from_callback``: each process reads ONLY the
+        rows its addressable devices own.  ``jax.device_put`` with a
+        non-fully-addressable sharding instead asserts the full value is
+        identical on every process — which is exactly false for per-host
+        partial tile stores (each host materializes only its own tile
+        ranges; the others are sparse-file holes) and costs a cross-host
+        comparison even when true.  Single-process keeps the plain
+        device_put (one transfer, no callback plumbing)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                arr.shape,
+                self._chunk_sharding,
+                lambda idx: np.ascontiguousarray(arr[idx]),
+            )
+        return jax.device_put(arr, self._chunk_sharding)
+
     def _put_chunk(self, chunk, tile_shape=None):
         """Host->device transfer of one streamed chunk (tile-sharded over
         the mesh when one is configured).  int32 chunks are packed
@@ -658,7 +678,7 @@ class StreamingEngineMixin:
         packed = chunk.dtype == np.int32
         unpack = CODECS[self._stream_codec][3] if packed else None
         if self._mesh_ndev() > 1:
-            xdev = jax.device_put(chunk, self._chunk_sharding)
+            xdev = self._put_sharded(chunk)
             return unpack(xdev, tuple(tile_shape)) if packed else xdev
         if packed:
             # Feed the host array straight to the jitted unpack: the

@@ -211,6 +211,30 @@ CODECS = {
 }
 
 
+def pack_to_tempmm(tiles: np.ndarray, codec: str) -> np.ndarray:
+    """Pack ``tiles`` with ``codec`` into an anonymous temp-file memmap.
+
+    The one-time resident uploads (engine._upload_bucket_tiles,
+    parallel.sharding.shard_bucket_arrays) feed the packed form to a
+    jitted device unpack; routing the pack through a disk-backed memmap
+    keeps peak host RAM at the slab size instead of ~0.67x the whole
+    bucket — the same bounded-RAM discipline as the streaming sidecar
+    (engine_streaming._build_stream_pack).  The memmap's pages are
+    evictable page cache, so the jit input staging reads them through
+    without a second resident copy."""
+    import tempfile
+
+    cpw, words_for_, pack, _uj, _un, _maxc = CODECS[codec]
+    T = int(tiles.shape[0])
+    E = int(np.prod(tiles.shape[1:]))
+    W = words_for_(E)
+    f = tempfile.TemporaryFile(prefix="cudasw4_respack_")
+    f.truncate(max(T * W, 1) * 4)
+    mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
+    pack(tiles, out=mm)
+    return mm
+
+
 def choose_codec(mode: str, pad: int) -> str | None:
     """Map CUDASW4_TPU_STREAM_PACK to a codec: "1" b32 (the
     TPU-validated default), "2" b21 where the alphabet allows (classic

@@ -154,18 +154,32 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh,
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
 
+    def put(arr, sharding):
+        # Multiprocess device_put of host data asserts the full value is
+        # identical on every process — a cross-host broadcast+compare of
+        # the whole array, which at DB scale is most of set_database.
+        # make_array_from_callback reads only each process's own rows
+        # (and never pages in the rest of a memmap-backed store).
+        if jax.process_count() > 1:
+            return jax.make_array_from_callback(
+                arr.shape, sharding,
+                lambda idx: np.ascontiguousarray(arr[idx]),
+            )
+        return jax.device_put(arr, sharding)
+
     def put_tiles(b):
         if codec is None or b.tiles.size < pack_min:
-            return jax.device_put(b.tiles, sh)
-        from ..ops.pack5 import CODECS
+            return put(b.tiles, sh)
+        from ..ops.pack5 import CODECS, pack_to_tempmm
 
-        pack, unpack = CODECS[codec][2], CODECS[codec][3]
+        unpack = CODECS[codec][3]
         return unpack(
-            jax.device_put(pack(b.tiles), sh), tuple(b.tiles.shape[1:])
+            put(pack_to_tempmm(b.tiles, codec), sh),
+            tuple(b.tiles.shape[1:]),
         )
 
     tiles = tuple(put_tiles(b) for b in packed.buckets)
-    seq_idx = tuple(jax.device_put(b.seq_index, sh) for b in packed.buckets)
+    seq_idx = tuple(put(b.seq_index, sh) for b in packed.buckets)
     return tiles, seq_idx, rep
 
 

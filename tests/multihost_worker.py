@@ -98,7 +98,28 @@ def main():
             num_top=10, qcap=64, mesh=global_mesh(), max_device_bytes=1,
             stream_chunk_bytes=1 << 14,
         )
-        seng2.set_database(db, pack_cache=own_cache)
+        # A larger DB than the main one: with only 1-2 tiles per bucket
+        # (the 400-seq DB packs NS=128 tiles) the first process's mesh
+        # positions cover every tile and its store is legitimately FULL
+        # — partiality needs more tiles per bucket than half the mesh
+        # covers per chunk.  ~3200 seqs gives each bucket ~6-8 tiles, so
+        # both processes' per-host stores are genuinely partial.
+        rng2 = np.random.default_rng(2025)
+        lengths2h = np.sort(rng2.integers(5, 80, size=3200)).astype(np.int32)
+        padded2h = (lengths2h + 3) // 4 * 4
+        offsets2h = np.concatenate(
+            [[0], np.cumsum(padded2h)]
+        ).astype(np.uint64)
+        db2 = DBData(
+            chars=rng2.integers(
+                0, 20, size=int(offsets2h[-1])
+            ).astype(np.int8),
+            offsets=offsets2h,
+            lengths=lengths2h,
+            headers=np.frombuffer(b"h" * len(lengths2h), dtype=np.uint8),
+            header_offsets=np.arange(len(lengths2h) + 1, dtype=np.uint64),
+        )
+        seng2.set_database(db2, pack_cache=own_cache)
         assert seng2.streaming
         if nproc > 1:
             assert seng2.packed.tile_ranges is not None, (
