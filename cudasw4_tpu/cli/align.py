@@ -119,7 +119,11 @@ def parse_args(argv: list[str]) -> dict:
         ):
             v = val()
             if v not in _KERNEL_TYPES:
-                raise SystemExit(f"invalid kernel type {v}")
+                # The reference coerces unknown names to Half2
+                # (stringToKernelType fallback, options.cpp:81-86); the
+                # per-slot validity check then rejects it where Half2 is
+                # not allowed.
+                v = "Half2"
             opts["kernel_types"][a[2:]] = v
         elif a == "--dpx":
             opts["dpx"] = True
@@ -205,6 +209,32 @@ def run(argv=None) -> int:
                 print("DB prefix is missing")
         print(HELP)
         return 0
+
+    # Kernel-type combination validation, matching the reference's
+    # isValid*Type rules and error text exactly
+    # (/root/reference/src/cudasw4.cuh:590-604, 841-855): manyPass_small
+    # must be a 16-bit family, manyPass_large/overflow a 32-bit one.
+    # Unknown names coerce to Half2 first, like stringToKernelType's
+    # fallback (/root/reference/src/options.cpp:81-86).
+    _KT_RULES = (
+        ("singlePassType", {"Half2", "DPXs16", "DPXs32", "Float"},
+         "Invalid singlepass kernel type"),
+        ("manyPassType_small", {"Half2", "DPXs16"},
+         "Invalid manyPassType_small kernel type"),
+        ("manyPassType_large", {"Float", "DPXs32"},
+         "Invalid manyPassType_large kernel type"),
+        ("overflowType", {"Float", "DPXs32"},
+         "Invalid overflow kernel type"),
+    )
+    for _slot, _allowed, _msg in _KT_RULES:
+        _val = opts["kernel_types"].get(_slot)
+        if _val is None:
+            continue
+        if _val not in {"Half2", "DPXs16", "DPXs32", "Float"}:
+            _val = "Half2"
+        if _val not in _allowed:
+            print(_msg)
+            return 1
 
     from ..engine import enable_persistent_compilation_cache
 

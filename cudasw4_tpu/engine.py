@@ -510,23 +510,28 @@ class SearchEngine(StreamingEngineMixin):
                     fns[key] = sh.build_sharded_scan_chunked(
                         mesh, kds, use_pallas, k, len(qchunks), exact=exact
                     )
-                vals, ids = fns[key](
+                out = fns[key](
                     qchunks, pcs, qpad, params, tiles, seq_idx,
                     self._matrix_flat, self._matrix_f32,
                 )
-                # Mesh scans expose no per-tile saturation info; overflow
-                # falls back to a full exact re-scan (tmaxes=None).
-                return vals, ids, None
+                if exact:
+                    return out[0], out[1], None
+                # Replicated per-tile maxes: >= SAT marks the tile for
+                # the exact mesh overflow pass (same granularity as the
+                # single-chip path).
+                return out[0], out[1], tuple(out[2])
             key = (kds, exact)
             if key not in fns:
                 fns[key] = sh.build_sharded_scan(
                     mesh, kds, use_pallas, k, exact=exact
                 )
-            vals, ids = fns[key](
+            out = fns[key](
                 qpad, params, tiles, seq_idx,
                 self._matrix_flat, self._matrix_f32,
             )
-            return vals, ids, None
+            if exact:
+                return out[0], out[1], None
+            return out[0], out[1], tuple(out[2])
 
         return run
 
@@ -591,10 +596,15 @@ class SearchEngine(StreamingEngineMixin):
             # cudasw4.cuh:2117-2186, float_kernels.cuh:1189-1260).  Mesh
             # scans (tmaxes None) re-run the whole scan instead.
             overflows = int((vals >= sw_pallas_cell.SAT).sum())
-            if tmaxes is not None:
-                vals, ids = self._rescore_overflow(
+            merged = (
+                self._rescore_overflow(
                     tmaxes, vals, ids, qpad, params, codes
                 )
+                if tmaxes is not None
+                else None
+            )
+            if merged is not None:
+                vals, ids = merged
             else:
                 vals, ids, _ = self._scan_fn(
                     qpad, params, codes=codes, exact=True
@@ -653,7 +663,17 @@ class SearchEngine(StreamingEngineMixin):
         top-k is (exact scores of subjects in saturated tiles) merged
         with the fast top-k minus entries from those tiles.  Saturated
         entries can only displace the *tail* of the fast top-k, which
-        is exactly what re-sorting the union reproduces."""
+        is exactly what re-sorting the union reproduces.
+
+        Returns (vals, ids), or None when the caller must fall back to
+        a full exact re-scan (mesh path with a shard's saturated-tile
+        count beyond the overflow buffer cap)."""
+        if self._mesh_ndev() > 1 and getattr(
+            self, "_sharded_tiles", None
+        ) is not None:
+            return self._rescore_overflow_mesh(
+                tmaxes, vals, ids, qpad, params, codes
+            )
         from .ops import INTERPRET
 
         use_pallas = self.backend == "pallas"
@@ -696,6 +716,100 @@ class SearchEngine(StreamingEngineMixin):
         keep = ~np.isin(np.asarray(ids), sat_i)
         allv = np.concatenate([np.asarray(vals)[keep]] + cand_v)
         alli = np.concatenate([np.asarray(ids)[keep]] + cand_i)
+        order = np.lexsort((alli, -allv))[: len(vals)]
+        return allv[order], alli[order]
+
+    #: Per-shard overflow buffer capacity (tiles): the largest saturated
+    #: tile count any shard may re-score through the fixed-capacity mesh
+    #: overflow pass; beyond it the engine falls back to a full exact
+    #: re-scan.  The analog of the reference's d_overflow_positions
+    #: buffer sizing (/root/reference/src/cudasw4.cuh:2117-2186).
+    OVF_TILE_CAP = int(os.environ.get("CUDASW4_TPU_OVF_TILE_CAP", 32))
+
+    def _rescore_overflow_mesh(self, tmaxes, vals, ids, qpad, params, codes):
+        """Mesh twin of _rescore_overflow: re-score ONLY saturated tiles,
+        per shard, through a fixed-capacity shard_map program
+        (parallel.sharding.build_sharded_overflow_rescore) and merge its
+        gathered (score, id) candidates into the fast top-k.
+
+        Merge rule (no host-side tile->id map needed): fast entries with
+        val >= SAT are clamped/suspect and covered by the exact
+        candidates, so the true top-k = sort( exact candidates  U
+        { fast entries with val < SAT whose id is not a candidate } ).
+        Every truly-saturated subject has exact score >= SAT >= any
+        clamped value, and at most k of them win, so per-shard top-k
+        candidate lists suffice (the standard sharded top-k argument).
+
+        Returns None when any shard's saturated-tile count exceeds
+        OVF_TILE_CAP (callers run the full exact re-scan instead)."""
+        from .parallel import sharding as sh
+
+        ndev = self._mesh_ndev()
+        kinds = tuple(bucket_kind(b) for b in self.packed.buckets)
+        use_pallas = self.backend == "pallas"
+        nq = int(params[0])
+        nq_pad = int(params[3])
+        kds = kinds
+        if nq > self.qcap:
+            kds = tuple(
+                "jnp"
+                if kd == "row"
+                or (kd == "cell" and nq > sw_pallas_cell.QCAP_MAX)
+                else kd
+                for kd in kinds
+            )
+        caps = []
+        for tmax in tmaxes:
+            tm = np.asarray(tmax)
+            tl = tm.shape[0] // ndev
+            need = int(
+                (tm.reshape(ndev, tl) >= sw_pallas_cell.SAT)
+                .sum(axis=1).max()
+            ) if tl else 0
+            if need > min(self.OVF_TILE_CAP, tl):
+                return None  # overflow buffer too small: full re-scan
+            # Power-of-two quantised per-bucket capacity: the caps tuple
+            # is part of the compile key, so distinct overflow patterns
+            # reuse a handful of compiled programs.
+            cap = 1 if need else 0
+            while cap < need:
+                cap *= 2
+            caps.append(min(cap, tl))
+        if not any(caps):
+            return np.asarray(vals), np.asarray(ids)
+        nchunks = 0
+        qc = np.zeros((1, 1), np.int32)
+        pc = np.zeros((1, 4), np.int32)
+        if (
+            use_pallas
+            and nq_pad > sw_pallas_col.NQC
+            and any(kd == "col" for kd in kds)
+        ):
+            qc, pc = sh.make_query_chunks(
+                codes, self.scoring.gop, self.scoring.gex, pad=self._pad
+            )
+            nchunks = len(qc)
+        if not hasattr(self, "_ovf_fns"):
+            self._ovf_fns = {}
+        key = (kds, tuple(caps), nchunks)
+        if key not in self._ovf_fns:
+            self._ovf_fns[key] = sh.build_sharded_overflow_rescore(
+                self.mesh, kds, use_pallas, max(self.results_per_query, 1),
+                tuple(caps), nchunks=nchunks,
+            )
+        cv, ci = self._ovf_fns[key](
+            qc, pc, qpad, params, self._sharded_tiles, self._sharded_idx,
+            tuple(tmaxes), self._matrix_flat, self._matrix_f32,
+        )
+        cv = np.asarray(cv)
+        ci = np.asarray(ci)
+        ok = cv >= 0  # invalid candidate slots carry -1
+        cv, ci = cv[ok], ci[ok]
+        vals = np.asarray(vals)
+        ids = np.asarray(ids)
+        keep = (vals < sw_pallas_cell.SAT) & ~np.isin(ids, ci)
+        allv = np.concatenate([vals[keep], cv])
+        alli = np.concatenate([ids[keep], ci])
         order = np.lexsort((alli, -allv))[: len(vals)]
         return allv[order], alli[order]
 
@@ -994,6 +1108,13 @@ class SearchEngine(StreamingEngineMixin):
                     ),
                 )
             )
+        if self.debug_check:
+            # The batch kernels' slot/merge plumbing is where batching
+            # bugs would live — verify every slot's result, same oracle
+            # as single scans (the reference rescores EVERY scan under
+            # CUDASW_DEBUG_CHECK_CORRECTNESS, cudasw4.cuh:728-756).
+            for c, r in zip(group, out):
+                self._debug_check_result(c, r)
         return out
 
     def scan_batch(self, sequences) -> list[ScanResult]:
@@ -1059,10 +1180,15 @@ class SearchEngine(StreamingEngineMixin):
             overflows = 0
             if self._has_overflow(vals):
                 overflows = int((vals >= sw_pallas_cell.SAT).sum())
-                if tmaxes is not None:
-                    vals, ids = self._rescore_overflow(
+                merged = (
+                    self._rescore_overflow(
                         tmaxes, vals, ids, qpad, params, codes
                     )
+                    if tmaxes is not None
+                    else None
+                )
+                if merged is not None:
+                    vals, ids = merged
                 else:
                     vals, ids, _ = self._scan_fn(
                         qpad, params, codes=codes, exact=True
@@ -1073,17 +1199,18 @@ class SearchEngine(StreamingEngineMixin):
             k = self.results_per_query
             cells = float(nq) * float(self.packed.total_real_chars)
             self._total_cells += cells
-            return [
-                ScanResult(
-                    scores=[int(v) for v in vals[:k]],
-                    reference_ids=[int(i) for i in ids[:k]],
-                    stats=BenchmarkStats(
-                        seconds=seconds,
-                        gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
-                        num_overflows=overflows,
-                    ),
-                )
-            ]
+            res = ScanResult(
+                scores=[int(v) for v in vals[:k]],
+                reference_ids=[int(i) for i in ids[:k]],
+                stats=BenchmarkStats(
+                    seconds=seconds,
+                    gcups=cells / 1e9 / seconds if seconds > 0 else 0.0,
+                    num_overflows=overflows,
+                ),
+            )
+            if self.debug_check:
+                self._debug_check_result(codes, res)
+            return [res]
 
         def flush_shorts():
             """Dispatch buffered short queries; returns finished results

@@ -645,24 +645,13 @@ class StreamingEngineMixin:
         return entries
 
     def _put_sharded(self, arr):
-        """Host->device transfer of ``arr`` with the chunk sharding.
+        """Host->device transfer of ``arr`` with the chunk sharding
+        (parallel.sharding.put_sharded: make_array_from_callback on
+        multiprocess meshes so each host reads only its own rows,
+        plain device_put single-process)."""
+        from .parallel.sharding import put_sharded
 
-        Multiprocess meshes build the global array per process with
-        ``jax.make_array_from_callback``: each process reads ONLY the
-        rows its addressable devices own.  ``jax.device_put`` with a
-        non-fully-addressable sharding instead asserts the full value is
-        identical on every process — which is exactly false for per-host
-        partial tile stores (each host materializes only its own tile
-        ranges; the others are sparse-file holes) and costs a cross-host
-        comparison even when true.  Single-process keeps the plain
-        device_put (one transfer, no callback plumbing)."""
-        if jax.process_count() > 1:
-            return jax.make_array_from_callback(
-                arr.shape,
-                self._chunk_sharding,
-                lambda idx: np.ascontiguousarray(arr[idx]),
-            )
-        return jax.device_put(arr, self._chunk_sharding)
+        return put_sharded(arr, self._chunk_sharding)
 
     def _put_chunk(self, chunk, tile_shape=None):
         """Host->device transfer of one streamed chunk (tile-sharded over

@@ -211,7 +211,8 @@ CODECS = {
 }
 
 
-def pack_to_tempmm(tiles: np.ndarray, codec: str) -> np.ndarray:
+def pack_to_tempmm(tiles: np.ndarray, codec: str,
+                   rows=None, dir: str | None = None) -> np.ndarray:
     """Pack ``tiles`` with ``codec`` into an anonymous temp-file memmap.
 
     The one-time resident uploads (engine._upload_bucket_tiles,
@@ -221,18 +222,50 @@ def pack_to_tempmm(tiles: np.ndarray, codec: str) -> np.ndarray:
     bucket — the same bounded-RAM discipline as the streaming sidecar
     (engine_streaming._build_stream_pack).  The memmap's pages are
     evictable page cache, so the jit input staging reads them through
-    without a second resident copy."""
+    without a second resident copy.
+
+    ``rows``: optional iterable of (start, stop) tile ranges to pack —
+    multiprocess uploads pass each host's addressable ranges so a
+    process packs only the rows its devices will read (the unwritten
+    regions stay sparse-file holes, mirroring the per-host partial tile
+    store).  ``dir`` (or CUDASW4_TPU_TMPDIR, or the TMPDIR default)
+    picks the backing filesystem; on hosts where the default tmp is
+    tmpfs the pages would be RAM-backed, defeating the bounded-RAM
+    goal — point the env var at a real disk there.  Any OSError from
+    the temp-file path (unwritable dir, disk full) falls back to the
+    plain in-RAM pack: packing needs only RAM, so a disk problem must
+    not fail the upload."""
+    import os
     import tempfile
 
     cpw, words_for_, pack, _uj, _un, _maxc = CODECS[codec]
     T = int(tiles.shape[0])
     E = int(np.prod(tiles.shape[1:]))
     W = words_for_(E)
-    f = tempfile.TemporaryFile(prefix="cudasw4_respack_")
-    f.truncate(max(T * W, 1) * 4)
-    mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
-    pack(tiles, out=mm)
-    return mm
+    if T == 0 or W == 0:
+        return np.zeros((T, W), np.int32)
+    spans = [(0, T)] if rows is None else [
+        (max(0, int(s)), min(T, int(e))) for s, e in rows
+    ]
+    try:
+        f = tempfile.TemporaryFile(
+            prefix="cudasw4_respack_",
+            dir=dir or os.environ.get("CUDASW4_TPU_TMPDIR") or None,
+        )
+        f.truncate(T * W * 4)
+        mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
+        for s, e in spans:
+            if e > s:
+                pack(tiles[s:e], out=mm[s:e])
+        return mm
+    except OSError:
+        if rows is None:
+            return pack(tiles)
+        out = np.zeros((T, W), np.int32)
+        for s, e in spans:
+            if e > s:
+                pack(tiles[s:e], out=out[s:e])
+        return out
 
 
 def choose_codec(mode: str, pad: int) -> str | None:

@@ -153,19 +153,7 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh,
     axis = mesh.axis_names[0]
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-
-    def put(arr, sharding):
-        # Multiprocess device_put of host data asserts the full value is
-        # identical on every process — a cross-host broadcast+compare of
-        # the whole array, which at DB scale is most of set_database.
-        # make_array_from_callback reads only each process's own rows
-        # (and never pages in the rest of a memmap-backed store).
-        if jax.process_count() > 1:
-            return jax.make_array_from_callback(
-                arr.shape, sharding,
-                lambda idx: np.ascontiguousarray(arr[idx]),
-            )
-        return jax.device_put(arr, sharding)
+    put = put_sharded
 
     def put_tiles(b):
         if codec is None or b.tiles.size < pack_min:
@@ -173,14 +161,64 @@ def shard_bucket_arrays(packed: PackedDB, mesh: Mesh,
         from ..ops.pack5 import CODECS, pack_to_tempmm
 
         unpack = CODECS[codec][3]
+        T = b.tiles.shape[0]
+        W = CODECS[codec][1](int(np.prod(b.tiles.shape[1:])))
+        # Multiprocess: pack ONLY the rows this process's devices will
+        # read back through the callback (the rest stay sparse-file
+        # holes) — a full-bucket pack per host costs T*W*4 temp bytes
+        # and the whole CPU pack x num_hosts for rows nobody reads.
+        rows = (
+            addressable_row_ranges(sh, (T, W))
+            if jax.process_count() > 1 else None
+        )
         return unpack(
-            put(pack_to_tempmm(b.tiles, codec), sh),
+            put(pack_to_tempmm(b.tiles, codec, rows=rows), sh),
             tuple(b.tiles.shape[1:]),
         )
 
     tiles = tuple(put_tiles(b) for b in packed.buckets)
     seq_idx = tuple(put(b.seq_index, sh) for b in packed.buckets)
     return tiles, seq_idx, rep
+
+
+def put_sharded(arr, sharding):
+    """Host->device transfer of ``arr`` under ``sharding``.
+
+    Multiprocess device_put of host data asserts the full value is
+    identical on every process — a cross-host broadcast+compare of the
+    whole array, which at DB scale is most of set_database, and exactly
+    false for per-host partial tile stores (each host materializes only
+    its own tile ranges; the rest are sparse-file holes).
+    make_array_from_callback reads only each process's own rows (and
+    never pages in the rest of a memmap-backed store).  Single-process
+    keeps the plain device_put (one transfer, no callback plumbing).
+    Shared by the resident shard upload above and the streaming chunk
+    path (engine_streaming._put_sharded)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            arr.shape, sharding,
+            lambda idx: np.ascontiguousarray(arr[idx]),
+        )
+    return jax.device_put(arr, sharding)
+
+
+def addressable_row_ranges(sharding, shape):
+    """Merged (start, stop) leading-axis index ranges owned by THIS
+    process's devices under ``sharding`` for a ``shape``-d array."""
+    spans = []
+    for idx in sharding.addressable_devices_indices_map(shape).values():
+        sl = idx[0]
+        start = 0 if sl.start is None else int(sl.start)
+        stop = shape[0] if sl.stop is None else int(sl.stop)
+        spans.append((start, stop))
+    spans.sort()
+    merged: list[list[int]] = []
+    for s, e in spans:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    return [(s, e) for s, e in merged]
 
 
 def build_sharded_batch_scan(
@@ -271,11 +309,19 @@ def build_sharded_scan(
     mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, exact: bool = False
 ):
     """Returns jitted (qpad, params, tiles_tuple, idx_tuple, mat_flat,
-    mat_f32) -> (scores [k], reference_ids [k]) replicated."""
+    mat_f32) -> (scores [k], reference_ids [k]) replicated.
+
+    With ``exact=False`` (int16-state fast pass) a third output is a
+    per-bucket tuple of REPLICATED per-tile score maxes [T] — a max >=
+    SAT marks the tile as holding a saturated score, the overflow set
+    the exact mesh re-score pass targets (build_sharded_overflow_rescore;
+    the reference records overflowed ids on every path,
+    /root/reference/src/float_kernels.cuh:1189-1260).  One f32 per tile
+    rides the all_gather — negligible next to the k-candidate merge."""
     axis = mesh.axis_names[0]
 
     def body(qpad, params, tiles_tuple, idx_tuple, mat_flat, mat_f32):
-        parts, idparts = [], []
+        parts, idparts, tmaxes = [], [], []
         for tiles, sidx, kind in zip(tiles_tuple, idx_tuple, kinds):
             s = score_bucket(
                 tiles, qpad, mat_flat, mat_f32, params, use_pallas, kind,
@@ -283,16 +329,26 @@ def build_sharded_scan(
             )
             parts.append(s.reshape(-1))
             idparts.append(sidx.reshape(-1))
+            if not exact:
+                tmaxes.append(jax.lax.all_gather(
+                    jnp.max(s, axis=1), axis, axis=0, tiled=True
+                ))
         scores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         ids = jnp.concatenate(idparts) if len(idparts) > 1 else idparts[0]
         scores = jnp.where(ids >= 0, scores, -1.0)
-        return _merge_topk(scores, ids, k, axis)
+        vals, out_ids = _merge_topk(scores, ids, k, axis)
+        if exact:
+            return vals, out_ids
+        return vals, out_ids, tuple(tmaxes)
 
+    out_specs = (P(), P()) if exact else (
+        P(), P(), tuple(P() for _ in kinds)
+    )
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(), P()),
-        out_specs=(P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -315,7 +371,7 @@ def build_sharded_scan_chunked(
 
     def body(qchunks, pcs, qpad, params, tiles_tuple, idx_tuple,
              mat_flat, mat_f32):
-        parts, idparts = [], []
+        parts, idparts, tmaxes = [], [], []
         for tiles, sidx, kind in zip(tiles_tuple, idx_tuple, kinds):
             if use_pallas and kind == "col":
                 s = _col_chunked_local(
@@ -328,15 +384,101 @@ def build_sharded_scan_chunked(
                 )
             parts.append(s.reshape(-1))
             idparts.append(sidx.reshape(-1))
+            if not exact:
+                tmaxes.append(jax.lax.all_gather(
+                    jnp.max(s, axis=1), axis, axis=0, tiled=True
+                ))
         scores = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         ids = jnp.concatenate(idparts) if len(idparts) > 1 else idparts[0]
         scores = jnp.where(ids >= 0, scores, -1.0)
-        return _merge_topk(scores, ids, k, axis)
+        vals, out_ids = _merge_topk(scores, ids, k, axis)
+        if exact:
+            return vals, out_ids
+        return vals, out_ids, tuple(tmaxes)
 
+    out_specs = (P(), P()) if exact else (
+        P(), P(), tuple(P() for _ in kinds)
+    )
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_overflow_rescore(
+    mesh: Mesh, kinds: tuple, use_pallas: bool, k: int, caps: tuple,
+    nchunks: int = 0,
+):
+    """Exact-int32 mesh re-score of ONLY the saturated tiles.
+
+    The multi-chip analog of the reference's overflow reprocessing
+    (/root/reference/src/cudasw4.cuh:2117-2186): per shard and per
+    bucket, the ``caps[b]`` tiles with the highest fast-pass maxes are
+    gathered by index (a fixed-capacity overflow buffer, like
+    d_overflow_positions), re-scored with int32 state, masked down to
+    the genuinely saturated ones (tile max >= SAT), and reduced to k
+    (score, id) candidates that an all_gather replicates.  The host
+    merges them into the fast top-k (engine._rescore_overflow_mesh).
+    ``caps[b] == 0`` skips bucket b entirely; the engine picks caps as
+    the max per-shard saturated-tile count (power-of-two quantised so
+    the compile cache stays small) and falls back to a full exact
+    re-scan when a shard exceeds CUDASW4_TPU_OVF_TILE_CAP.
+
+    ``nchunks > 0`` routes col buckets through the chunked-query
+    boundary-carry path (queries beyond NQC rows); the two leading
+    inputs qchunks/pcs are ignored when 0 (pass 1-element dummies).
+
+    Returns jitted (qchunks, pcs, qpad, params, tiles_tuple, idx_tuple,
+    tmax_tuple, mat_flat, mat_f32) -> (cand_scores [ndev*kl],
+    cand_ids [ndev*kl]) replicated, invalid slots scored -1.
+    """
+    from ..ops import sw_pallas_cell
+
+    axis = mesh.axis_names[0]
+
+    def body(qchunks, pcs, qpad, params, tiles_tuple, idx_tuple,
+             tmax_tuple, mat_flat, mat_f32):
+        sat = float(sw_pallas_cell.SAT)
+        cvs, cis = [], []
+        for tiles, sidx, tmax, kind, cap in zip(
+            tiles_tuple, idx_tuple, tmax_tuple, kinds, caps
+        ):
+            if cap == 0:
+                continue
+            tv, sel = jax.lax.top_k(tmax, cap)
+            sub = jnp.take(tiles, sel, axis=0)
+            if use_pallas and kind == "col" and nchunks:
+                s = _col_chunked_local(
+                    sub, qchunks, pcs, mat_flat, nchunks, exact=True
+                )
+            else:
+                s = score_bucket(
+                    sub, qpad, mat_flat, mat_f32, params, use_pallas,
+                    kind, exact=True,
+                )
+            ssel = jnp.take(sidx.reshape(tmax.shape[0], -1), sel, axis=0)
+            valid = (tv >= sat)[:, None] & (ssel >= 0)
+            s = jnp.where(valid, s.reshape(ssel.shape), -1.0)
+            cvs.append(s.reshape(-1))
+            cis.append(ssel.reshape(-1))
+        flatv = jnp.concatenate(cvs) if len(cvs) > 1 else cvs[0]
+        flati = jnp.concatenate(cis) if len(cis) > 1 else cis[0]
+        kl = max(1, min(k, flatv.shape[0]))
+        v, i = jax.lax.top_k(flatv, kl)
+        ids_sel = jnp.take(flati, i)
+        vg = jax.lax.all_gather(v, axis, axis=0, tiled=True)
+        ig = jax.lax.all_gather(ids_sel, axis, axis=0, tiled=True)
+        return vg, ig
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P(axis),
+                  tuple(P(axis) for _ in kinds), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -101,6 +101,46 @@ def test_align_missing_args(capsys):
     assert "Usage:" in out
 
 
+def test_align_kernel_type_validation(small_db, tmp_path, capsys,
+                                      monkeypatch):
+    """Invalid kernel-type combinations are rejected with the reference's
+    exact error text (/root/reference/src/cudasw4.cuh:590-604, 841-855);
+    unknown names coerce to Half2 first like stringToKernelType
+    (/root/reference/src/options.cpp:81-86)."""
+    prefix, qf, _ = small_db
+    base = ["--query", qf, "--db", prefix, "--top", "3",
+            "--of", str(tmp_path / "o.txt")]
+
+    # valid combos run fine
+    rc = _run_align(base + ["--singlePassType", "DPXs32",
+                            "--manyPassType_small", "DPXs16",
+                            "--manyPassType_large", "Float",
+                            "--overflowType", "DPXs32"], monkeypatch)
+    assert rc == 0
+
+    for args, msg in [
+        (["--manyPassType_small", "Float"],
+         "Invalid manyPassType_small kernel type"),
+        (["--manyPassType_large", "Half2"],
+         "Invalid manyPassType_large kernel type"),
+        (["--overflowType", "DPXs16"],
+         "Invalid overflow kernel type"),
+        # garbage coerces to Half2, invalid for a 32-bit slot
+        (["--manyPassType_large", "NoSuchKernel"],
+         "Invalid manyPassType_large kernel type"),
+    ]:
+        capsys.readouterr()
+        rc = _run_align(base + args, monkeypatch)
+        out = capsys.readouterr().out
+        assert rc == 1
+        assert msg in out
+
+    # garbage in a slot where Half2 is valid passes (reference behavior)
+    rc = _run_align(base + ["--singlePassType", "NoSuchKernel"],
+                    monkeypatch)
+    assert rc == 0
+
+
 def test_align_gap_overrides(small_db, tmp_path, monkeypatch):
     prefix, qf, recs = small_db
     out1, out2 = str(tmp_path / "a.txt"), str(tmp_path / "b.txt")

@@ -258,6 +258,53 @@ def test_debug_check_full_catches_non_topn_mismatch(tmp_path, rng,
     assert len(ok.scores) == db.num_sequences
 
 
+def test_debug_check_covers_batch_paths(rng, monkeypatch):
+    """CUDASW4_TPU_DEBUG_CHECK must verify scan_batch results too
+    (VERDICT r03 item 6): the batch kernels' slot/merge plumbing is
+    where batching bugs would live, so a planted wrong batch-slot score
+    has to be caught — the reference rescores EVERY scan under
+    CUDASW_DEBUG_CHECK_CORRECTNESS (cudasw4.cuh:728-756)."""
+    from cudasw4_tpu import ops
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.ops import sw_pallas_cell
+
+    monkeypatch.setattr(ops, "INTERPRET", True)
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 99.0)  # force cell layout
+    monkeypatch.setenv("CUDASW4_TPU_DEBUG_CHECK", "1")
+    engine = SearchEngine(num_top=3, qcap=64, backend="pallas")
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(10, 40)))
+    assert engine.packed.buckets[0].kernel == "cell"
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    queries = [
+        "".join(aas[c] for c in rng.integers(0, 20, 24)) for _ in range(3)
+    ]
+
+    # Clean engine: the per-slot oracle check passes.
+    res = engine.scan_batch(queries)
+    assert len(res) == 3
+
+    # Corrupt slot 0 of the batch kernel's output (+1 on every score).
+    real = sw_pallas_cell.score_bucket_pallas_cell_batch
+
+    def corrupt(*a, **kw):
+        s = real(*a, **kw)
+        return s.at[0].add(1.0)
+
+    monkeypatch.setattr(
+        sw_pallas_cell, "score_bucket_pallas_cell_batch", corrupt
+    )
+    engine._batch_scan_fn = None  # retrace with the corrupted kernel
+    with pytest.raises(AssertionError, match="debug check failed"):
+        engine.scan_batch(queries)
+
+    # scan_many routes short queries through the same batch dispatch —
+    # it must be covered too.
+    engine2 = SearchEngine(num_top=3, qcap=64, backend="pallas")
+    engine2.set_database(pseudo_to_dbdata(make_pseudo_db(10, 40)))
+    with pytest.raises(AssertionError, match="debug check failed"):
+        list(engine2.scan_many(queries))
+
+
 def test_empty_database(rng):
     """Zero-sequence DB: scans return empty results without errors."""
     from cudasw4_tpu.db.format import DBData

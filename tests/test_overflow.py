@@ -125,6 +125,100 @@ def test_engine_rescores_only_saturated_tiles(rng, monkeypatch):
     sw_pallas_cell.score_bucket_pallas_cell._clear_cache()
 
 
+def _tiny_two_tile_db():
+    """4199 all-G subjects (score 0 vs an all-W query) + one all-W subject
+    (score 24*11=264 >= the shrunken SAT): two 4096-lane tiles, exactly
+    one of which saturates."""
+    from cudasw4_tpu.constants import encode
+    from cudasw4_tpu.db.format import DBData
+
+    seqs = [encode("G" * 16) for _ in range(4199)] + [encode("W" * 24)]
+    padlens = [-(-len(s) // 4) * 4 for s in seqs]
+    chars = np.full(sum(padlens), 20, np.int8)
+    offsets = np.zeros(len(seqs) + 1, np.uint64)
+    pos = 0
+    for i, s in enumerate(seqs):
+        chars[pos : pos + len(s)] = s
+        offsets[i] = pos
+        pos += padlens[i]
+    offsets[-1] = pos
+    return DBData(
+        chars=chars,
+        offsets=offsets,
+        lengths=np.array([len(s) for s in seqs], np.int32),
+        headers=np.zeros(0, np.uint8),
+        header_offsets=np.zeros(len(seqs) + 1, np.uint64),
+    )
+
+
+def test_mesh_rescores_only_saturated_tiles(rng, monkeypatch):
+    """Mesh twin of the test above (VERDICT round-3 item 3): on a multi-
+    device mesh the int16 fast pass returns replicated per-tile maxes and
+    overflow re-scores ONLY the saturated tiles — one tile per shard
+    through the fixed-capacity shard_map overflow pass — instead of the
+    round-3 full exact re-scan (engine._rescore_overflow_mesh;
+    /root/reference/src/cudasw4.cuh:2117-2186)."""
+    from cudasw4_tpu import ops
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.engine import SearchEngine
+    from cudasw4_tpu.parallel import sharding as sh_mod
+    from cudasw4_tpu.parallel.sharding import make_mesh
+
+    monkeypatch.setattr(ops, "INTERPRET", True)
+    monkeypatch.setattr(sw_pallas_cell, "SAT", 30)
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 99.0)  # force cell layout
+    sw_pallas_cell.score_bucket_pallas_cell._clear_cache()
+
+    calls = []
+    real = sh_mod.score_bucket
+
+    def spy(tiles, *a, **kw):
+        calls.append((int(tiles.shape[0]), kw.get("exact")))
+        return real(tiles, *a, **kw)
+
+    monkeypatch.setattr(sh_mod, "score_bucket", spy)
+
+    mesh = make_mesh()
+    ndev = len(mesh.devices.flat)
+    engine = SearchEngine(num_top=5, qcap=64, backend="pallas", mesh=mesh)
+    engine.state16 = True
+    engine.set_database(_tiny_two_tile_db())
+    b = engine.packed.buckets[0]
+    assert b.kernel == "cell"
+    assert b.tiles.shape[0] == ndev  # 2 tiles padded up to the mesh
+
+    calls.clear()
+    res = engine.scan("W" * 24)
+    # The fast pass traces once per shard-mapped program with the local
+    # tile count (T/ndev = 1, exact False); the overflow pass must gather
+    # exactly ONE tile per shard (cap 1), exact=True — not T/ndev == all.
+    exact_calls = [(n, ex) for n, ex in calls if ex]
+    assert exact_calls == [(1, True)], calls
+    assert res.stats.num_overflows >= 1
+    assert res.scores[0] == 24 * 11  # exact, not the SAT clamp
+    assert res.reference_ids[0] == 4199
+    assert res.scores[1:] == [0, 0, 0, 0]
+    assert res.reference_ids[1:] == [0, 1, 2, 3]
+
+    # No saturation -> no exact pass at all.
+    calls.clear()
+    res2 = engine.scan("C" * 8)
+    assert all(not ex for _n, ex in calls)
+    assert res2.stats.num_overflows == 0
+
+    # Overflow buffer exhausted -> full exact re-scan fallback (the
+    # reference's behavior when d_overflow_positions would overflow):
+    # no new overflow-rescore program is built, results stay exact.
+    engine.OVF_TILE_CAP = 0
+    n_ovf_programs = len(engine._ovf_fns)
+    res3 = engine.scan("W" * 24)
+    assert res3.scores[0] == 24 * 11
+    assert res3.reference_ids[0] == 4199
+    assert len(engine._ovf_fns) == n_ovf_programs
+
+    sw_pallas_cell.score_bucket_pallas_cell._clear_cache()
+
+
 def test_col_kernel_saturates_then_exact(rng, monkeypatch):
     monkeypatch.setattr(sw_pallas_cell, "SAT", 30)
     monkeypatch.setattr(sw_pallas_col, "LC", 16)
