@@ -92,10 +92,11 @@ def main() -> None:
     # honest headline, not the friendliest config.  BENCH_MODE=peak
     # keeps the old single-config metric for round-over-round A/Bs.
     mode = os.environ.get("BENCH_MODE", "sweep")
-    # One timed pass per config by default in sweep mode (each config is
-    # separately warmed; a full extra rep costs ~12 chip-minutes for <1
-    # GCUPS of spread), two in single-config mode.
-    reps = int(os.environ.get("BENCH_REPS", 1 if mode == "sweep" else 2))
+    # Best-of-2 in every mode: round-3's single-rep sweep rows swung -8%
+    # on tunnel-day variance (L=256 measured 292.7 there vs 314.8
+    # best-of-2 on a quiet chip, docs/PERFORMANCE.md variance note);
+    # the ~12 extra chip-minutes buy round-over-round comparability.
+    reps = int(os.environ.get("BENCH_REPS", 2))
 
     import numpy as np
 

@@ -56,12 +56,97 @@ def derive_tuning(rows) -> dict:
         cfg["cell_speedup"] = round(float(np.median(ratios["cell"])), 3)
     if ratios["col"]:
         cfg["col_speedup"] = round(float(np.median(ratios["col"])), 3)
+    # Winning unroll per kernel family (mode over per-(L, qlen) winners)
+    # -> the kernels' DEFAULT_UNROLL via apply_tuning.
+    for fam, key in (("cell", "cell_unroll"), ("col", "col_unroll")):
+        us = [unrolls[k] for k in best if k[0] == fam]
+        if us:
+            vals, counts = np.unique(us, return_counts=True)
+            cfg[key] = int(vals[np.argmax(counts)])
+    # cell/col crossover: the longest measured L where the cell kernel
+    # still beats the column kernel at the same qlen (both measured) ->
+    # CELL_MAX_L.  Emitted only when the sweep actually covers the
+    # crossover (a cell win below some col win).
+    cell_wins, col_wins = [], []
+    for (kernel, L, nq), g in best.items():
+        other = best.get((("col" if kernel == "cell" else "cell"), L, nq))
+        if other is None:
+            continue
+        if kernel == "cell" and g >= other:
+            cell_wins.append(L)
+        elif kernel == "col" and g > other:
+            col_wins.append(L)
+    if cell_wins and col_wins and max(cell_wins) < min(col_wins):
+        cfg["cell_max_l"] = int(max(cell_wins))
     cfg["best"] = [
         {"kernel": k, "length": L, "qlen": nq, "unroll": unrolls[(k, L, nq)],
          "gcups": round(g, 1)}
         for (k, L, nq), g in sorted(best.items())
     ]
     return cfg
+
+
+def sweep_col_geometry(nqcs, lcs, num_chars, reps, interpret=False):
+    """Sweep the column kernel's (NQC, LC) geometry on-device and return
+    (best_nqc, best_lc, rows) — the dispatch-table dimensions the
+    reference bakes into its partId map and this build keeps as module
+    constants tunable per TPU generation.  Restores the module values
+    afterwards; apply_tuning re-applies the winners."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from .. import make_scoring_config
+    from ..ops import sw_pallas_col
+
+    cfg = make_scoring_config("blosum62")
+    mat_flat = jnp.asarray(cfg.matrix.astype(np.int32).reshape(-1))
+    rng = np.random.default_rng(42)
+    save = (sw_pallas_col.NQC, sw_pallas_col.LC)
+    rows = []
+    best = (0.0, save[0], save[1])
+    try:
+        for lc in lcs:
+            L = max(lc, 2048 // lc * lc)
+            spt = 4096
+            n = max(spt, (num_chars // (L * spt)) * spt)
+            data = rng.integers(0, 20, size=(n, L)).astype(np.int8)
+            tiles = jnp.asarray(
+                data.reshape(n // spt, spt, L).transpose(0, 2, 1)
+                .reshape(n // spt, L, 32, 128).copy()
+            )
+            for nqc in nqcs:
+                sw_pallas_col.NQC = nqc
+                sw_pallas_col.LC = lc
+                sw_pallas_col.score_bucket_pallas_col._clear_cache()
+                q = rng.integers(0, 20, size=nqc)
+                cells = float(nqc) * L * n
+                try:
+                    def once():
+                        return np.asarray(
+                            sw_pallas_col.score_bucket_col_any_query(
+                                tiles, q, mat_flat, cfg.gop, cfg.gex,
+                                exact=True, interpret=interpret,
+                            )
+                        )
+
+                    once()
+                    ts = []
+                    for _ in range(reps):
+                        t0 = _time.perf_counter()
+                        once()
+                        ts.append(_time.perf_counter() - t0)
+                    g = cells / min(ts) / 1e9
+                    rows.append((nqc, lc, L, g))
+                    print(f"   col NQC={nqc} LC={lc} L={L}: {g:.1f} GCUPS")
+                    if g > best[0]:
+                        best = (g, nqc, lc)
+                except Exception as e:
+                    print(f"   col NQC={nqc} LC={lc}: FAILED {str(e)[:60]}")
+    finally:
+        sw_pallas_col.NQC, sw_pallas_col.LC = save
+        sw_pallas_col.score_bucket_pallas_col._clear_cache()
+    return best[1], best[2], rows
 
 
 def run(argv=None) -> int:
@@ -74,6 +159,8 @@ def run(argv=None) -> int:
     reps = 3
     outfile = None
     emit_config = None
+    nqcs = []
+    lcs = []
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -91,6 +178,10 @@ def run(argv=None) -> int:
             unrolls = [int(x) for x in val().split(",")]
         elif a == "--querylengths":
             qlens = [int(x) for x in val().split(",")]
+        elif a == "--nqcs":
+            nqcs = [int(x) for x in val().split(",")]
+        elif a == "--lcs":
+            lcs = [int(x) for x in val().split(",")]
         elif a == "--chars":
             num_chars = int(val())
         elif a == "--reps":
@@ -103,12 +194,16 @@ def run(argv=None) -> int:
             print(
                 "Usage: gridsearch [--lengths l1,l2,..] [--kernels row,cell,col]"
                 " [--unrolls u1,..] [--querylengths q1,..] [--chars N]"
+                " [--nqcs n1,..] [--lcs c1,..]"
                 " [--reps R] [--of file] [--emit-config tuning.json]"
             )
             print(
                 "--emit-config writes a tuning JSON consumed by"
-                " CUDASW4_TPU_TUNING / align --tuning (measured kernel"
-                " speed ratios feed the bucket layout chooser)."
+                " CUDASW4_TPU_TUNING / align --tuning: kernel speed"
+                " ratios + unrolls + the cell/col crossover length feed"
+                " the bucket layout chooser and kernel geometry;"
+                " --nqcs/--lcs additionally sweep the column kernel's"
+                " state-pool rows and chunk width (col_nqc / col_lc)."
             )
             return 0
         else:

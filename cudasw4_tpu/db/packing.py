@@ -73,19 +73,35 @@ JNP_REL_SPEED = 0.05
 
 
 def apply_tuning(cfg) -> None:
-    """Apply a gridsearch-emitted tuning config to the layout chooser.
+    """Apply a gridsearch-emitted tuning config to the layout chooser
+    and the kernels' tunable geometry.
 
     ``cfg``: a dict (or a path to a JSON file) as written by
     ``gridsearch --emit-config`` — the per-generation feedback loop the
     reference runs by hand-editing its partId->(group_size,numRegs)
     dispatch table from gridsearch output
     (/root/reference/src/gridsearch.cu, /root/reference/src/cudasw4.cuh:1767).
-    Recognised keys: ``cell_speedup``, ``col_speedup`` (floats, measured
-    kernel speed ratios vs the row-streaming kernel at full tile
-    occupancy).  Unknown keys are ignored so configs stay forward
-    compatible.
+
+    Recognised keys (unknown keys are ignored so configs stay forward
+    compatible; invalid values raise ValueError — a tuning config must
+    never silently half-apply):
+
+    - ``cell_speedup`` / ``col_speedup``: measured kernel speed ratios
+      vs the row-streaming kernel (floats; feed choose_bucket_layout).
+    - ``cell_max_l``: longest bucket the cell kernel handles (multiple
+      of 16; the VMEM ceiling differs per TPU generation).
+    - ``cell_unroll`` / ``col_unroll``: inner-loop unroll factors
+      (ops.sw_pallas_cell/col DEFAULT_UNROLL; col_unroll is also the
+      query-row padding granule, threaded through the engine).
+    - ``col_nqc``: column-kernel state-pool rows (multiple of 128;
+      VMEM-bound per generation).
+    - ``col_lc``: column-kernel subject positions per grid step
+      (multiple of 128; long-bucket lengths must stay multiples).
+
+    Kernel jit caches are cleared when geometry changes so stale
+    unroll=None traces cannot survive a retune.
     """
-    global CELL_SPEEDUP, COL_SPEEDUP
+    global CELL_SPEEDUP, COL_SPEEDUP, CELL_MAX_L
     if isinstance(cfg, (str, os.PathLike)):
         import json
 
@@ -95,6 +111,51 @@ def apply_tuning(cfg) -> None:
         CELL_SPEEDUP = float(cfg["cell_speedup"])
     if cfg.get("col_speedup"):
         COL_SPEEDUP = float(cfg["col_speedup"])
+    if cfg.get("cell_max_l"):
+        v = int(cfg["cell_max_l"])
+        if v < 16 or v % 16:
+            raise ValueError(f"cell_max_l must be a multiple of 16: {v}")
+        CELL_MAX_L = v
+    geom = False
+    from ..ops import sw_pallas_cell, sw_pallas_col
+
+    if cfg.get("cell_unroll"):
+        v = int(cfg["cell_unroll"])
+        if v < 2:
+            raise ValueError(f"cell_unroll must be >= 2: {v}")
+        geom |= v != sw_pallas_cell.DEFAULT_UNROLL
+        sw_pallas_cell.DEFAULT_UNROLL = v
+    if cfg.get("col_unroll"):
+        v = int(cfg["col_unroll"])
+        if v < 1 or v > sw_pallas_col.FLAT_QUANT:
+            raise ValueError(f"col_unroll out of range: {v}")
+        if sw_pallas_col.FLAT_QUANT % v:
+            raise ValueError(
+                f"col_unroll must divide FLAT_QUANT "
+                f"({sw_pallas_col.FLAT_QUANT}): {v}"
+            )
+        geom |= v != sw_pallas_col.DEFAULT_UNROLL
+        sw_pallas_col.DEFAULT_UNROLL = v
+    if cfg.get("col_nqc"):
+        v = int(cfg["col_nqc"])
+        if v < 128 or v % 128:
+            raise ValueError(f"col_nqc must be a multiple of 128: {v}")
+        geom |= v != sw_pallas_col.NQC
+        sw_pallas_col.NQC = v
+    if cfg.get("col_lc"):
+        v = int(cfg["col_lc"])
+        if v < 128 or v % 128:
+            raise ValueError(f"col_lc must be a multiple of 128: {v}")
+        geom |= v != sw_pallas_col.LC
+        sw_pallas_col.LC = v
+    if geom:
+        for fn in (
+            sw_pallas_cell.score_bucket_pallas_cell,
+            sw_pallas_cell.score_bucket_pallas_cell_batch,
+            sw_pallas_col.score_bucket_pallas_col,
+            sw_pallas_col.score_bucket_pallas_col_flat,
+        ):
+            fn._clear_cache()
 
 
 if os.environ.get("CUDASW4_TPU_TUNING"):

@@ -552,7 +552,9 @@ class SearchEngine(StreamingEngineMixin):
         )
         qpad = np.full(qlen, self._pad, dtype=np.int32)
         qpad[:nq] = codes
-        nq_pad = max(4, -(-nq // 4) * 4)  # column-kernel row count (x unroll)
+        # Column-kernel row count, padded to the (tunable) unroll granule.
+        cu = sw_pallas_col.DEFAULT_UNROLL
+        nq_pad = max(cu, -(-nq // cu) * cu)
         params = np.array(
             [nq, self.scoring.gop, self.scoring.gex, nq_pad], dtype=np.int32
         )
@@ -1013,11 +1015,12 @@ class SearchEngine(StreamingEngineMixin):
         [0, gop, gex, 0] + nqs + pads)."""
         queries = np.full((QB, width), self._pad, dtype=np.int32)
         nqs = np.zeros(QB, np.int32)
-        pads = np.full(QB, 4, np.int32)
+        cu = sw_pallas_col.DEFAULT_UNROLL
+        pads = np.full(QB, cu, np.int32)
         for slot, c in entries:
             queries[slot, : len(c)] = c
             nqs[slot] = len(c)
-            pads[slot] = max(4, -(-len(c) // 4) * 4)
+            pads[slot] = max(cu, -(-len(c) // cu) * cu)
         params = np.concatenate(
             [
                 np.array(
@@ -1371,7 +1374,8 @@ class SearchEngine(StreamingEngineMixin):
             qpad_len = max(256, _round_up(nq, 256))
         qpad = np.full(qpad_len, self._pad, dtype=np.int32)
         qpad[:nq] = codes
-        nq_pad = max(4, -(-nq // 4) * 4)
+        cu = sw_pallas_col.DEFAULT_UNROLL
+        nq_pad = max(cu, -(-nq // cu) * cu)
         t0 = time.perf_counter()
         if self._mesh_ndev() > 1:
             params = np.array(

@@ -337,7 +337,8 @@ class StreamingEngineMixin:
         def score_one(xdev, b, i):
             c = group[i]
             nq = len(c)
-            nq_pad = max(4, -(-nq // 4) * 4)
+            cu = sw_pallas_col.DEFAULT_UNROLL
+            nq_pad = max(cu, -(-nq // cu) * cu)
             if (
                 use_pallas
                 and b.kernel == "col"

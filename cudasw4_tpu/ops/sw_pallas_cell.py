@@ -75,6 +75,12 @@ QCAP = 8192
 #: covers every known protein (titin ~35k aa) with ~4x headroom.
 QCAP_MAX = 131072
 
+#: Inner-loop unroll (subject positions per VMEM access).  unroll=None in
+#: the entry points resolves to this; tunable per TPU generation via
+#: gridsearch --emit-config (db/packing.apply_tuning clears jit caches
+#: after changing it).
+DEFAULT_UNROLL = 4
+
 
 def _alphabet_dim(matrix_flat) -> int:
     """Alphabet size from a flattened [A*A] substitution matrix (21
@@ -85,8 +91,66 @@ def _alphabet_dim(matrix_flat) -> int:
     return a
 
 
+#: Build the per-tile substitution LUT on the MXU (one-hot x B matmul)
+#: instead of the VPU select chain.  Opt-in experiment: the chain costs
+#: ~1.3k VPU ops/char (the dominant per-tile fixed cost at short q and
+#: ~4% of col-kernel time at full pools); the matmul form costs ~100
+#: VPU ops/char (one-hot + int8 convert) plus MXU work the DP loop
+#: never uses.  Round-2 rejected an MXU reformulation on padding-waste
+#: analysis; this measures it.  Env: CUDASW4_TPU_LUT_MXU=1.
+import os as _os
+
+LUT_MXU = _os.environ.get("CUDASW4_TPU_LUT_MXU", "0") == "1"
+
+
+def build_sub_lut_mxu(x_ref, b_ref, lut_ref, shape, rows: int = 8,
+                      A: int = ALPHABET_SIZE):
+    """MXU variant of build_sub_lut: lut[t, c] = (B @ onehot(x))[t, c].
+
+    BLOSUM values (|v| <= 17) and the 0/1 one-hot are exact in bf16, so
+    the f32 matmul result is integer-exact.  B is assembled from the
+    SMEM scalars once per grid step (A*A broadcasts — negligible next
+    to the per-chunk work)."""
+    L = shape[0]
+    tail = shape[1:]
+    ec = rows * tail[0] * tail[1]
+    nchunks = L // rows
+    assert L % rows == 0, (L, rows)
+
+    bmat = jnp.stack([
+        jnp.stack([b_ref[t * A + u] for u in range(A)])
+        for t in range(A)
+    ]).astype(jnp.bfloat16)  # [A, A]
+
+    def build_chunk(i, _):
+        lc = i * rows
+        x = x_ref[0, pl.ds(lc, rows)].astype(jnp.int32)  # [rows, G, NSL]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (A,) + (rows,) + tail, 0
+        )
+        oh = (iota == x[None]).astype(jnp.bfloat16)
+        prod = jax.lax.dot_general(
+            bmat, oh.reshape(A, ec),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [A, ec] f32, integer-exact
+        lut_ref[:, pl.ds(lc, rows)] = (
+            prod.astype(jnp.int8).reshape((A, rows) + tail)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, build_chunk, 0)
+
+
 def build_sub_lut(x_ref, b_ref, lut_ref, shape, rows: int = 8,
                   A: int = ALPHABET_SIZE):
+    if LUT_MXU:
+        return build_sub_lut_mxu(x_ref, b_ref, lut_ref, shape, rows, A)
+    return _build_sub_lut_vpu(x_ref, b_ref, lut_ref, shape, rows, A)
+
+
+def _build_sub_lut_vpu(x_ref, b_ref, lut_ref, shape, rows: int = 8,
+                       A: int = ALPHABET_SIZE):
     """Fill lut_ref[t] = B[t, x] for all t (the per-tile substitution LUT,
     the TPU stand-in for the reference's shared-memory pairwise BLOSUM
     cache, /root/reference/src/half2_kernels.cuh:57-65).
@@ -273,10 +337,11 @@ def score_bucket_pallas_cell_batch(
     matrix_flat: jax.Array,  # int32 [441]
     params: jax.Array,  # int32 [4+QB]: _, gop, gex, _, nq_0..nq_{QB-1}
     interpret: bool = False,
-    unroll: int = 4,
+    unroll: int | None = None,
     exact: bool = True,
 ) -> jax.Array:
     """Scores f32 [QB, T, g*nsl]: QB queries per tile pass."""
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     T, L, g, nsl = tiles.shape
     QB = queries.shape[0]
     A = _alphabet_dim(matrix_flat)
@@ -377,12 +442,13 @@ def score_bucket_pallas_cell_manual(
     matrix_flat: jax.Array,  # int32 [441]
     params: jax.Array,  # int32 [4]: nq, gop, gex, reserved
     interpret: bool = False,
-    unroll: int = 4,
+    unroll: int | None = None,
     exact: bool = True,
     priority: int = 0,
 ) -> jax.Array:
     """score_bucket_pallas_cell with manual input staging (experiment:
     attack the per-tile DMA starvation, round-1 verdict item 2)."""
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     T, L, g, nsl = tiles.shape
     assert g % G == 0 and nsl % NSL == 0, (g, nsl)
     assert L % unroll == 0, (L, unroll)
@@ -434,7 +500,7 @@ def score_bucket_pallas_cell(
     matrix_flat: jax.Array,  # int32 [441]
     params: jax.Array,  # int32 [4]: nq, gop, gex, reserved
     interpret: bool = False,
-    unroll: int = 4,
+    unroll: int | None = None,
     exact: bool = False,
 ) -> jax.Array:
     """Scores f32 [T, g*nsl]; one pallas_call, grid over tiles.
@@ -444,6 +510,7 @@ def score_bucket_pallas_cell(
     ``exact=True`` (full int32 state) for those, mirroring the
     reference's s16 fast path + s32 overflow pass.
     """
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     T, L, g, nsl = tiles.shape
     assert g % G == 0 and nsl % NSL == 0, (g, nsl)
     assert L % unroll == 0, (L, unroll)

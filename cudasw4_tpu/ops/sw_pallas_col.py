@@ -46,7 +46,17 @@ from .sw_pallas_cell import G, NSL, NEG, SAT, _alphabet_dim, build_sub_lut
 NEG16 = -20000
 
 #: Subject positions per grid step (all long-bucket lengths are multiples).
+#: Tunable per TPU generation via gridsearch --emit-config (packing.apply_tuning).
 LC = 128
+
+#: Inner-loop unroll (query rows per VMEM access).  The padding granule
+#: for every query-row count fed to the col kernels — engine padding and
+#: kernel calls resolve unroll=None to this, so a gridsearch-tuned value
+#: stays consistent across the whole pipeline.  8 measured +3.5-4.5%
+#: over 4 on v5e across every single/flat config (tools/colunroll.py,
+#: round 4: e.g. 300.5 -> 313.4 GCUPS at L=1024 q=3072; 12 is flat);
+#: the cell kernel's subject-axis unroll stays 4 (its round-1 sweep).
+DEFAULT_UNROLL = 8
 
 import os as _os
 
@@ -207,7 +217,7 @@ def score_bucket_pallas_col(
     take_init: bool = False,
     emit_state: bool = False,
     interpret: bool = False,
-    unroll: int = 4,
+    unroll: int | None = None,
     exact: bool = False,
 ):
     """Scores f32 [T, G*NSL] = per-subject max over this query chunk's rows.
@@ -217,6 +227,7 @@ def score_bucket_pallas_col(
     next query chunk.  Default mode stores DP state as saturating int16;
     a score >= SAT flags 16-bit overflow — re-run with ``exact=True``.
     """
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     T, L, g, nsl = tiles.shape
     A = _alphabet_dim(matrix_flat)
     assert (g, nsl) == (G, NSL), (g, nsl)
@@ -289,7 +300,7 @@ def _sw_col_kernel_entry(*refs, LCk, U, take_init, emit_state, state_dtype,
                    emit_state=emit_state, state_dtype=state_dtype, A=A)
 
 
-def pad_query_chunk(codes, unroll: int = 4, pad: int | None = None):
+def pad_query_chunk(codes, unroll: int | None = None, pad: int | None = None):
     """Pad one query chunk to a multiple of ``unroll`` (and at least 1
     slab), returning (qpad [NQC] int32, nq_pad).  ``pad``: padding code
     (UNKNOWN classic, 25 full-blosum)."""
@@ -297,6 +308,7 @@ def pad_query_chunk(codes, unroll: int = 4, pad: int | None = None):
 
     from ..constants import UNKNOWN
 
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     nq = len(codes)
     assert nq <= NQC, (nq, NQC)
     nq_pad = max(unroll, -(-nq // unroll) * unroll)
@@ -321,7 +333,7 @@ COL_CARRY_TEMP_BYTES = int(
 
 
 def score_bucket_col_any_query(
-    tiles, codes, matrix_flat, gop: int, gex: int, unroll: int = 4,
+    tiles, codes, matrix_flat, gop: int, gex: int, unroll: int | None = None,
     interpret: bool = False, exact: bool = False, pad: int | None = None,
     temp_bytes: int | None = None,
 ):
@@ -342,6 +354,7 @@ def score_bucket_col_any_query(
     """
     import numpy as np
 
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     n = len(codes)
     chunks = [codes[s : s + NQC] for s in range(0, n, NQC)] or [codes]
     qps = []
@@ -533,7 +546,7 @@ def score_bucket_pallas_col_flat(
     offs: tuple = (),  # static state-pool row offset per slot
     rtot: int | None = None,
     interpret: bool = False,
-    unroll: int = 4,
+    unroll: int | None = None,
     exact: bool = True,
 ):
     """Scores f32 [S, T, G*NSL]: S flat-pool slots per tile stream.
@@ -543,6 +556,7 @@ def score_bucket_pallas_col_flat(
     multiple of ``unroll``, offsets are non-overlapping multiples of
     FLAT_QUANT (compile-cache discipline) and offs[qb] + nqp_qb <=
     rtot (default NQC).  See col_flat_plan for the packing."""
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
     T, L, g, nsl = tiles.shape
     S, W = queries.shape
     A = _alphabet_dim(matrix_flat)
@@ -551,6 +565,11 @@ def score_bucket_pallas_col_flat(
     assert L % LC == 0, L
     assert W <= RTOT, (W, RTOT)
     assert len(offs) == S, (offs, S)
+    # Static sanity on the pool layout: an offset at/past the pool means
+    # the planner overran rtot — the resulting OOB state write faults
+    # the TPU worker (nqp is dynamic, so the full offs[qb]+nqp <= rtot
+    # contract is the caller's; col_flat_plan guarantees it).
+    assert not offs or max(offs) < RTOT, (offs, RTOT)
     C = L // LC
     state_dtype = jnp.int32 if exact else jnp.int16
     state_bytes = 4 if exact else 2

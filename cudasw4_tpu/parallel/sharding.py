@@ -56,7 +56,7 @@ def _merge_topk(scores, ids, k: int, axis: str):
     return jnp.take(vg, order), jnp.take(ig, order)
 
 
-def make_query_chunks(codes, gop: int, gex: int, unroll: int = 4,
+def make_query_chunks(codes, gop: int, gex: int, unroll: int | None = None,
                       pad: int | None = None):
     """Split an encoded query into NQC-row chunks for the column kernel's
     boundary-carry multi-pass (qchunks [C, NQC] int32, pcs [C, 4] int32)."""
