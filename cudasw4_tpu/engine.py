@@ -350,6 +350,31 @@ class SearchEngine(StreamingEngineMixin):
 
     # ---------------------------------------------------------------- scan
 
+    #: Single-scan queries with at least this many (unroll-padded) rows
+    #: route cell-layout buckets through the COLUMN kernel when they fit
+    #: one NQC pass: the col kernel amortises its loop-entry cost over
+    #: the whole row pool where the cell kernel pays it per query row —
+    #: measured +1.3% at q=512 rising to +3.6% at q=3072 on v5e, but
+    #: LOSING 1.5-5.3% beyond NQC (the chunked boundary carry), so the
+    #: routing window is [COL_SINGLE_MIN_ROWS, NQC] (tools/bigsingle.py).
+    #: The per-(bucket, querylength) choice is the analog of the
+    #: reference's partId dispatch (/root/reference/src/cudasw4.cuh:1767).
+    COL_SINGLE_MIN_ROWS = 512
+
+    def _single_kinds(self, nq_pad: int) -> tuple:
+        kds = []
+        for b in self.packed.buckets:
+            kd = bucket_kind(b)
+            if (
+                kd == "cell"
+                and self.backend == "pallas"
+                and self.COL_SINGLE_MIN_ROWS <= nq_pad <= sw_pallas_col.NQC
+                and b.L % sw_pallas_col.LC == 0
+            ):
+                kd = "col"
+            kds.append(kd)
+        return tuple(kds)
+
     def _build_scan_fn(self):
         # NOTE: all database arrays are passed as jit *arguments* — closing
         # over them would bake them into the lowered module as constants
@@ -369,9 +394,9 @@ class SearchEngine(StreamingEngineMixin):
             vals, idx = jax.lax.top_k(allscores, max(1, k))
             return vals, jnp.take(flat_idx, idx)
 
-        @functools.partial(jax.jit, static_argnames=("exact",))
+        @functools.partial(jax.jit, static_argnames=("exact", "kinds"))
         def scan_fn(qpad, params, bucket_tiles, valid, flat_idx, mat_flat,
-                    mat_f32, exact=False):
+                    mat_f32, exact=False, kinds=kinds):
             parts = []
             tmaxes = []
             for tiles, kind in zip(bucket_tiles, kinds):
@@ -458,6 +483,13 @@ class SearchEngine(StreamingEngineMixin):
                 self._matrix_flat,
                 self._matrix_f32,
                 exact=exact,
+                # Per-query-length kernel routing (COL_SINGLE_MIN_ROWS):
+                # long-but-one-pass singles run cell-layout buckets on
+                # the column kernel.  A handful of kinds variants ->
+                # a handful of compiled programs.
+                kinds=(
+                    self._single_kinds(nq_pad) if use_pallas else kinds
+                ),
             )
 
         return run
@@ -496,6 +528,22 @@ class SearchEngine(StreamingEngineMixin):
                     else kd
                     for kd in kinds
                 )
+            if use_pallas:
+                # Same per-query-length routing as the single-chip path
+                # (COL_SINGLE_MIN_ROWS): one-pass-long singles score
+                # cell-layout buckets on the column kernel.
+                nq_pad0 = int(params[3])
+                if (
+                    self.COL_SINGLE_MIN_ROWS
+                    <= nq_pad0
+                    <= sw_pallas_col.NQC
+                ):
+                    kds = tuple(
+                        "col"
+                        if kd == "cell" and b.L % sw_pallas_col.LC == 0
+                        else kd
+                        for kd, b in zip(kds, self.packed.buckets)
+                    )
             if (
                 use_pallas
                 and int(params[3]) > sw_pallas_col.NQC
