@@ -72,15 +72,17 @@ NQC = int(_os.environ.get("CUDASW4_TPU_COL_NQC", 3072))
 _VMEM_CAP = int(_os.environ.get("CUDASW4_TPU_COL_VMEM_CAP", 118 << 20))
 
 #: State-pool rows for flat-pool passes that run FUSED into one XLA
-#: program alongside other passes (the mesh-resident batch scan).  Many
-#: big-state col kernels in one program crash the TPU worker at scale
-#: on v5e (round 2: >= 64 MB x 16 passes at 1M x 2048; round 3
-#: re-confirmed with ~6 x 96 MB flat passes — 3 passes run fine, the
-#: engine's full fused batch does not; singles and eagerly dispatched
-#: per-pass programs are stable at any state size).  32 MB-state
-#: multi-pass programs were stable at every scale in round 2, so fused
-#: contexts cap the pool at 1024 rows; the single-chip resident and all
-#: streaming paths dispatch one program per pass and use the full NQC.
+#: program alongside other passes (the mesh-resident batch scan).
+#: Round-4 root cause (tools/fusedcrash.py, docs/PERFORMANCE.md "fused
+#: big-state crash root-caused"): programs containing >= 64 MB-scratch
+#: col kernels stall 80-750 s PER KERNEL at first execution on this
+#: remote-compile platform (server-side load/codegen; the identical
+#: call runs 0.7 s warm), so ~16 fused 96 MB passes exceeded the
+#: worker's patience and surfaced as a "crash" in rounds 2-3.  32 MB
+#: (1024 rows int32) never stalls, so fused contexts cap the pool
+#: there; the single-chip resident and all streaming paths dispatch one
+#: program per pass, whose one-time per-shape cold cost the jit cache
+#: amortises, and use the full NQC.
 FUSED_RTOT = int(_os.environ.get("CUDASW4_TPU_COL_FUSED_RTOT", 1024))
 
 

@@ -14,11 +14,20 @@ This tool pins the crash boundary over (state rows x fused pass count):
     full bisection: python tools/fusedcrash.py SWEEP [T]
 
 SWEEP runs each config in a subprocess (a worker crash kills only the
-child) and prints an OK/CRASH matrix; it stops a row at the first crash
-and probes the device before continuing so a wedged tunnel is reported,
-not misread as more crashes.  Findings: docs/PERFORMANCE.md (fused
-big-state crash section).  The reference's analog constraint is its
-4 GiB temp chunking (/root/reference/src/cudasw4.cuh:1928-1947).
+child) and prints an OK/CRASH/HANG matrix; it stops a row at the first
+failure and probes the device before continuing so a wedged tunnel is
+reported, not misread as more crashes.  CHAIN re-runs the pathological
+configs with serializing data dependencies (the overlap-hypothesis
+test — negative).  The reference's analog constraint is its 4 GiB temp
+chunking (/root/reference/src/cudasw4.cuh:1928-1947).
+
+ROUND-4 VERDICT (full writeup: docs/PERFORMANCE.md "fused big-state
+crash root-caused"): the failure is a COLD-START stall — server-side
+program load/codegen deferred to first execution on this
+remote-compile platform takes 80-750 s per >= 64 MB-scratch kernel in
+the program (client compile() returns in ~1 s; the identical call runs
+0.7 s / 300 GCUPS warm), which at 16 fused passes surfaced as a worker
+"crash".  FUSED_RTOT=1024 (32 MB, never stalls) stays.
 """
 
 import os
@@ -27,7 +36,7 @@ import sys
 import time
 
 
-def run_one(rows: int, npasses: int, T: int) -> None:
+def run_one(rows: int, npasses: int, T: int, chain: bool = False) -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -58,14 +67,29 @@ def run_one(rows: int, npasses: int, T: int) -> None:
     def fused(tiles, qs, mat, params):
         acc = None
         for p in range(npasses):
+            t = tiles
+            if chain and acc is not None:
+                # Fake data dependency: serialize the passes inside the
+                # program (the _col_chunked_local trick) so XLA cannot
+                # overlap two big-VMEM-scratch kernels — the
+                # oversubscription-thrash hypothesis test.
+                t = tiles + (acc[0, 0, 0] * 0).astype(tiles.dtype)
             s = score_bucket_pallas_col_flat(
-                tiles, qs[p], mat, params, offs=(0,), rtot=rows,
+                t, qs[p], mat, params, offs=(0,), rtot=rows,
             )
             acc = s if acc is None else acc + s
         return acc
 
-    out = np.asarray(fused(tiles, qs, mat, params))
-    print(f"OK rows={rows} npasses={npasses} sum={float(out.sum()):.0f}",
+    t0 = time.time()
+    compiled = fused.lower(tiles, qs, mat, params).compile()
+    tc = time.time() - t0
+    print(f"compiled rows={rows} npasses={npasses} chain={chain} "
+          f"({tc:.0f}s)", flush=True)
+    t0 = time.time()
+    out = np.asarray(compiled(tiles, qs, mat, params))
+    print(f"OK rows={rows} npasses={npasses} chain={chain} "
+          f"sum={float(out.sum()):.0f} (compile {tc:.0f}s + "
+          f"exec {time.time()-t0:.1f}s)",
           flush=True)
 
 
@@ -78,43 +102,65 @@ def probe() -> bool:
     return "DEVOK" in r.stdout
 
 
+def _child(rows, npasses, T, chain, timeout_s=900):
+    t0 = time.time()
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "RUN", str(rows), str(npasses),
+             str(T)] + (["chain"] if chain else []),
+            capture_output=True, text=True, timeout=timeout_s,
+            env=os.environ,
+        )
+        ok = r.returncode == 0 and "OK rows" in r.stdout
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-6:])
+        verdict = "OK" if ok else "CRASH"
+    except subprocess.TimeoutExpired:
+        verdict, tail = "HANG", "(child exceeded timeout)"
+    print(
+        f"rows={rows} npasses={npasses} chain={chain}: {verdict} "
+        f"({time.time()-t0:.0f}s)"
+        + ("" if verdict == "OK" else f"\n--- tail ---\n{tail}"),
+        flush=True,
+    )
+    if verdict != "OK" and not probe():
+        print("device DOWN — waiting 120 s", flush=True)
+        time.sleep(120)
+        if not probe():
+            print("device still down; aborting", flush=True)
+            raise SystemExit(1)
+    return verdict
+
+
 def sweep(T: int) -> None:
     results = {}
     for rows in (1024, 2048, 3072):
         for npasses in (2, 3, 4, 6, 8, 12, 16):
-            t0 = time.time()
-            r = subprocess.run(
-                [sys.executable, __file__, "RUN", str(rows),
-                 str(npasses), str(T)],
-                capture_output=True, text=True, timeout=1800,
-                env=os.environ,
-            )
-            ok = r.returncode == 0 and "OK rows" in r.stdout
-            results[(rows, npasses)] = "OK" if ok else "CRASH"
-            print(
-                f"rows={rows} npasses={npasses}: "
-                f"{results[(rows, npasses)]} ({time.time()-t0:.0f}s)"
-                + ("" if ok else f"\n--- tail ---\n"
-                   + "\n".join((r.stdout + r.stderr).splitlines()[-6:])),
-                flush=True,
-            )
-            if not ok:
-                if not probe():
-                    print("device DOWN after crash — waiting 120 s",
-                          flush=True)
-                    time.sleep(120)
-                    if not probe():
-                        print("device still down; aborting sweep",
-                              flush=True)
-                        return
-                break  # next rows value; larger npasses would also crash
+            v = _child(rows, npasses, T, chain=False)
+            results[(rows, npasses)] = v
+            if v != "OK":
+                break  # larger npasses would also fail
     print("matrix:", results, flush=True)
+
+
+def chain_sweep(T: int) -> None:
+    """The root-cause A/B: re-run the pathological big-state configs
+    with serializing data dependencies between passes.  If chained
+    passes run at normal speed, the failure mode is XLA overlapping
+    independent big-VMEM-scratch kernels (oversubscription thrash),
+    and the engine fix is a dependency chain, not a pool cap."""
+    for rows, npasses in ((3072, 2), (3072, 3), (3072, 4), (3072, 6),
+                          (2048, 3), (2048, 6), (2048, 16)):
+        for chain in (False, True):
+            _child(rows, npasses, T, chain=chain)
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "SWEEP"
     if mode == "RUN":
         run_one(int(sys.argv[2]), int(sys.argv[3]),
-                int(sys.argv[4]) if len(sys.argv) > 4 else 64)
+                int(sys.argv[4]) if len(sys.argv) > 4 else 64,
+                chain="chain" in sys.argv[5:])
+    elif mode == "CHAIN":
+        chain_sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 32)
     else:
         sweep(int(sys.argv[2]) if len(sys.argv) > 2 else 64)
