@@ -104,6 +104,10 @@ def sweep_col_geometry(nqcs, lcs, num_chars, reps, interpret=False):
     rng = np.random.default_rng(42)
     save = (sw_pallas_col.NQC, sw_pallas_col.LC)
     rows = []
+    # Ties keep the library defaults: a noise-level winner must not flip
+    # geometry (e.g. LC=256 would drop 384/640/896-length buckets off
+    # the col kernel, whose lengths are not multiples of 256) — a
+    # candidate must beat the incumbent by >2% to take the key.
     best = (0.0, save[0], save[1])
     try:
         for lc in lcs:
@@ -139,7 +143,8 @@ def sweep_col_geometry(nqcs, lcs, num_chars, reps, interpret=False):
                     g = cells / min(ts) / 1e9
                     rows.append((nqc, lc, L, g))
                     print(f"   col NQC={nqc} LC={lc} L={L}: {g:.1f} GCUPS")
-                    if g > best[0]:
+                    margin = 1.0 if (nqc, lc) == save else 1.02
+                    if g > best[0] * margin:
                         best = (g, nqc, lc)
                 except Exception as e:
                     print(f"   col NQC={nqc} LC={lc}: FAILED {str(e)[:60]}")
@@ -269,11 +274,14 @@ def run(argv=None) -> int:
                                     tiles_row, qdev, mat_flat, params
                                 ))
                         elif kernel == "cell":
+                            # exact=True: the engine's production path is
+                            # int32 state (state16 is opt-in), so the
+                            # tuning must measure what will actually run.
                             def once(U=U):
                                 return np.asarray(
                                     sw_pallas_cell.score_bucket_pallas_cell(
                                         tiles_wide, qdev, mat_flat, params,
-                                        unroll=U,
+                                        unroll=U, exact=True,
                                     )
                                 )
                         elif kernel == "col":
@@ -284,6 +292,7 @@ def run(argv=None) -> int:
                                     sw_pallas_col.score_bucket_col_any_query(
                                         tiles_wide, q, mat_flat,
                                         cfg.gop, cfg.gex, unroll=U,
+                                        exact=True,
                                     )
                                 )
                         else:
@@ -319,6 +328,17 @@ def run(argv=None) -> int:
     for (L, nq), (kernel, U, gcups) in sorted(best.items()):
         print(f"  L={L:5d} q={nq:5d}: {kernel} unroll={U} ({gcups:.1f} GCUPS)")
 
+    geo = None
+    if nqcs or lcs:
+        from ..ops import sw_pallas_col as _spc
+
+        print("\nColumn-kernel geometry sweep (NQC x LC):")
+        geo = sweep_col_geometry(
+            nqcs or [_spc.NQC], lcs or [_spc.LC],
+            num_chars, reps, interpret=not on_tpu,
+        )
+        print(f"  best: NQC={geo[0]} LC={geo[1]}")
+
     if outfile:
         with open(outfile, "w") as f:
             f.write("kernel\tlength\tunroll\ttiles\tqlen\tseconds\tgcups\n")
@@ -328,6 +348,8 @@ def run(argv=None) -> int:
         import json
 
         cfg = derive_tuning(rows)
+        if geo is not None:
+            cfg["col_nqc"], cfg["col_lc"] = int(geo[0]), int(geo[1])
         cfg["platform"] = jax.devices()[0].device_kind
         with open(emit_config, "w") as f:
             json.dump(cfg, f, indent=1)
