@@ -374,6 +374,7 @@ def score_bucket_col_any_query(
 
     multi = tc < T
     parts = []
+    pending = None  # previous group's device scores (lag-1 pipeline)
     for t0 in range(0, T, tc):
         sub = tiles[t0 : t0 + tc]
         best = None
@@ -392,13 +393,24 @@ def score_bucket_col_any_query(
                 scores, state = res, None
             best = scores if best is None else jnp.maximum(best, scores)
         if multi:
-            # Synchronize per group: async dispatch would keep several
-            # groups' multi-GB carry states live at once and fault the
-            # device (scores are tiny — the host round-trip is free).
-            best = np.asarray(best)
-        parts.append(best)
+            # Lag-1 group pipeline: materialize group i-1 only after
+            # dispatching group i, so the host round-trip (score fetch +
+            # next-group dispatch, ~tens of ms on a tunneled runtime)
+            # overlaps device compute instead of idling it — 16 groups x
+            # 6 long queries of sync bubbles cost ~2% of the 1M x 2048
+            # sweep config.  Bounded at TWO groups' carry states live
+            # (~4x COL_CARRY_TEMP_BYTES peak); it was the original
+            # fully-async dispatch — every group's multi-GB carry live
+            # at once — that faulted the device in round 2.
+            if pending is not None:
+                parts.append(np.asarray(pending))
+            pending = best
+        else:
+            parts.append(best)
     if not multi:
         return parts[0]
+    if pending is not None:
+        parts.append(np.asarray(pending))
     return jnp.asarray(np.concatenate(parts, axis=0))
 
 

@@ -113,9 +113,12 @@ def test_col_flat_kernel_matches_oracle(rng, monkeypatch):
     nqps = np.zeros(S, np.int32)
     offs = []
     off = 0
+    # Row counts must be multiples of the kernel's (tunable) unroll —
+    # the same granule the engine pads with (DEFAULT_UNROLL).
+    cu = sw_pallas_col.DEFAULT_UNROLL
     for s, q in enumerate(queries):
         qarr[s, : len(q)] = q
-        nqps[s] = max(4, -(-len(q) // 4) * 4)
+        nqps[s] = max(cu, -(-len(q) // cu) * cu)
         offs.append(off)
         off += -(-int(nqps[s]) // quant) * quant
     params = jnp.asarray(np.concatenate(
