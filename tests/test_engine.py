@@ -427,3 +427,32 @@ def test_store_builds_pack5_sidecar_inline(tmp_path, rng, monkeypatch,
     res.set_database(db)
     query = "".join(AAS[c] for c in rng.integers(0, 20, 30))
     assert res.scan(query).scores == eng.scan(query).scores
+
+
+def test_col_routing_window(rng, monkeypatch):
+    """Per-querylength kernel routing (COL_SINGLE_MIN_ROWS): one-pass
+    long singles route cell-layout buckets to the column kernel; short
+    queries and beyond-pool queries stay on the cell kernel
+    (tools/bigsingle.py measured the col kernel LOSING beyond one NQC
+    pass — the chunked boundary carry)."""
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.ops import sw_pallas_col
+
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 99.0)
+    engine = SearchEngine(num_top=3, qcap=64, backend="pallas")
+    engine.set_database(pseudo_to_dbdata(make_pseudo_db(10, 120)))
+    b = engine.packed.buckets[0]
+    assert b.kernel == "cell" and b.L % sw_pallas_col.LC == 0
+
+    nqc = sw_pallas_col.NQC
+    assert engine._single_kinds(256) == ("cell",)       # short: cell
+    assert engine._single_kinds(512) == ("col",)        # window start
+    assert engine._single_kinds(nqc) == ("col",)        # window end
+    assert engine._single_kinds(nqc + 8) == ("cell",)   # beyond pool
+
+    # Buckets whose L is not a multiple of LC never route.
+    engine2 = SearchEngine(num_top=3, qcap=64, backend="pallas")
+    engine2.set_database(pseudo_to_dbdata(make_pseudo_db(10, 90)))
+    b2 = engine2.packed.buckets[0]
+    assert b2.kernel == "cell" and b2.L % sw_pallas_col.LC != 0
+    assert engine2._single_kinds(1024) == ("cell",)
