@@ -120,9 +120,14 @@ def parse_args(argv: list[str]) -> dict:
             v = val()
             if v not in _KERNEL_TYPES:
                 # The reference coerces unknown names to Half2
-                # (stringToKernelType fallback, options.cpp:81-86); the
-                # per-slot validity check then rejects it where Half2 is
-                # not allowed.
+                # (stringToKernelType fallback, options.cpp:81-86 — its
+                # debug builds assert() instead); the per-slot validity
+                # check then rejects it where Half2 is not allowed.
+                # Warn so a typo doesn't silently run a different kernel.
+                print(
+                    f"Warning: unknown kernel type '{v}' for {a}; "
+                    f"falling back to Half2"
+                )
                 v = "Half2"
             opts["kernel_types"][a[2:]] = v
         elif a == "--dpx":

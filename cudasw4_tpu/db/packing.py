@@ -107,24 +107,28 @@ def apply_tuning(cfg) -> None:
 
         with open(cfg) as f:
             cfg = json.load(f)
+    from ..ops import sw_pallas_cell, sw_pallas_col
+
+    # Validate EVERY key into locals before assigning anything: a bad
+    # later key (e.g. valid cell_unroll then garbage col_nqc) must not
+    # leave half-applied geometry with stale kernel traces behind the
+    # ValueError — callers that catch it rely on the never-half-apply
+    # contract documented above.
+    pend: dict = {}
     if cfg.get("cell_speedup"):
-        CELL_SPEEDUP = float(cfg["cell_speedup"])
+        pend["cell_speedup"] = float(cfg["cell_speedup"])
     if cfg.get("col_speedup"):
-        COL_SPEEDUP = float(cfg["col_speedup"])
+        pend["col_speedup"] = float(cfg["col_speedup"])
     if cfg.get("cell_max_l"):
         v = int(cfg["cell_max_l"])
         if v < 16 or v % 16:
             raise ValueError(f"cell_max_l must be a multiple of 16: {v}")
-        CELL_MAX_L = v
-    geom = False
-    from ..ops import sw_pallas_cell, sw_pallas_col
-
+        pend["cell_max_l"] = v
     if cfg.get("cell_unroll"):
         v = int(cfg["cell_unroll"])
         if v < 2:
             raise ValueError(f"cell_unroll must be >= 2: {v}")
-        geom |= v != sw_pallas_cell.DEFAULT_UNROLL
-        sw_pallas_cell.DEFAULT_UNROLL = v
+        pend["cell_unroll"] = v
     if cfg.get("col_unroll"):
         v = int(cfg["col_unroll"])
         if v < 1 or v > sw_pallas_col.FLAT_QUANT:
@@ -134,26 +138,44 @@ def apply_tuning(cfg) -> None:
                 f"col_unroll must divide FLAT_QUANT "
                 f"({sw_pallas_col.FLAT_QUANT}): {v}"
             )
-        geom |= v != sw_pallas_col.DEFAULT_UNROLL
-        sw_pallas_col.DEFAULT_UNROLL = v
+        pend["col_unroll"] = v
     if cfg.get("col_nqc"):
         v = int(cfg["col_nqc"])
         if v < 128 or v % 128:
             raise ValueError(f"col_nqc must be a multiple of 128: {v}")
-        geom |= v != sw_pallas_col.NQC
-        sw_pallas_col.NQC = v
+        pend["col_nqc"] = v
     if cfg.get("col_lc"):
         v = int(cfg["col_lc"])
         if v < 128 or v % 128:
             raise ValueError(f"col_lc must be a multiple of 128: {v}")
-        geom |= v != sw_pallas_col.LC
-        sw_pallas_col.LC = v
+        pend["col_lc"] = v
+
+    if "cell_speedup" in pend:
+        CELL_SPEEDUP = pend["cell_speedup"]
+    if "col_speedup" in pend:
+        COL_SPEEDUP = pend["col_speedup"]
+    if "cell_max_l" in pend:
+        CELL_MAX_L = pend["cell_max_l"]
+    geom = False
+    if "cell_unroll" in pend:
+        geom |= pend["cell_unroll"] != sw_pallas_cell.DEFAULT_UNROLL
+        sw_pallas_cell.DEFAULT_UNROLL = pend["cell_unroll"]
+    if "col_unroll" in pend:
+        geom |= pend["col_unroll"] != sw_pallas_col.DEFAULT_UNROLL
+        sw_pallas_col.DEFAULT_UNROLL = pend["col_unroll"]
+    if "col_nqc" in pend:
+        geom |= pend["col_nqc"] != sw_pallas_col.NQC
+        sw_pallas_col.NQC = pend["col_nqc"]
+    if "col_lc" in pend:
+        geom |= pend["col_lc"] != sw_pallas_col.LC
+        sw_pallas_col.LC = pend["col_lc"]
     if geom:
         for fn in (
             sw_pallas_cell.score_bucket_pallas_cell,
             sw_pallas_cell.score_bucket_pallas_cell_batch,
             sw_pallas_col.score_bucket_pallas_col,
             sw_pallas_col.score_bucket_pallas_col_flat,
+            sw_pallas_col.score_bucket_pallas_col_flat_fused,
         ):
             fn._clear_cache()
 

@@ -427,6 +427,20 @@ class StreamingEngineMixin:
                     scorer = None
                     if ndev > 1:
                         def scorer(t, q, m, p, offs):
+                            from .ops import sw_pallas_col as _spc
+
+                            fmin = _spc.COL_FUSE_MIN_S
+                            if fmin > 0 and len(offs) >= fmin:
+                                fn = stream_fn(
+                                    "colflatfused",
+                                    lambda: (
+                                        sh
+                                        .build_sharded_col_batch_scorer_fused(
+                                            self.mesh
+                                        )
+                                    ),
+                                )
+                                return fn(t, q, m, p)
                             fn = stream_fn(
                                 ("colflat", offs),
                                 lambda: (

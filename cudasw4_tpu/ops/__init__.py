@@ -142,6 +142,16 @@ def batch_col_scores(
         rtot = sw_pallas_col.NQC
     if scorer is None:
         def scorer(t, q, m, p, offs):
+            fmin = sw_pallas_col.COL_FUSE_MIN_S
+            if fmin > 0 and len(offs) >= fmin:
+                # Masked-fused row loop: one loop entry per column for
+                # the whole pass instead of one per slot, and one
+                # compiled program per (S, rtot) instead of per static
+                # offset tuple (see COL_FUSE_MIN_S).
+                return sw_pallas_col.score_bucket_pallas_col_flat_fused(
+                    t, q, m, p, rtot=rtot, interpret=interpret,
+                    exact=True,
+                )
             return sw_pallas_col.score_bucket_pallas_col_flat(
                 t, q, m, p, offs=offs, rtot=rtot, interpret=interpret,
                 exact=True,

@@ -252,6 +252,21 @@ def pack_to_tempmm(tiles: np.ndarray, codec: str,
             prefix="cudasw4_respack_",
             dir=dir or os.environ.get("CUDASW4_TPU_TMPDIR") or None,
         )
+        # Reserve the space up front: truncate() alone makes a sparse
+        # file, so a full disk would surface later as SIGBUS during
+        # memmap page writeback instead of an OSError here — fallocate
+        # turns ENOSPC into the in-RAM fallback this except exists for.
+        if hasattr(os, "posix_fallocate"):
+            import errno
+
+            try:
+                os.posix_fallocate(f.fileno(), 0, T * W * 4)
+            except OSError as e:
+                # Unsupported fs (EOPNOTSUPP/EINVAL): sparse behaviour is
+                # the best available there — only real space failures
+                # should take the in-RAM fallback.
+                if e.errno in (errno.ENOSPC, errno.EDQUOT, errno.EFBIG):
+                    raise
         f.truncate(T * W * 4)
         mm = np.memmap(f, np.int32, mode="w+", shape=(T, W))
         for s, e in spans:

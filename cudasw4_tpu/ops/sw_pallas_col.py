@@ -325,10 +325,11 @@ def pad_query_chunk(codes, unroll: int | None = None, pad: int | None = None):
 #: query-chunk loop before the next group starts — the exact analog of
 #: the reference's maxTempBytes subject batching for its 4 GiB multi-pass
 #: temp (/root/reference/src/cudasw4.cuh:1928-1947).  In+out states live
-#: simultaneously, so peak HBM use is ~2x this value; 1 GiB keeps the
-#: peak ~2 GiB, which coexists with a 2 GiB resident bucket plus batch
-#: intermediates on a 16 GiB chip (a 2 GiB budget measured a device
-#: fault at 1M x 2048).
+#: simultaneously (~2x this value per group), and the eager path's
+#: lag-1 group pipeline keeps TWO groups live, so peak HBM use is ~4x:
+#: 1 GiB keeps the peak ~4 GiB, which coexists with a 2 GiB resident
+#: bucket plus batch intermediates on a 16 GiB chip (a 2 GiB budget
+#: measured a device fault at 1M x 2048 even before the pipeline).
 COL_CARRY_TEMP_BYTES = int(
     _os.environ.get("CUDASW4_TPU_COL_TEMP_BYTES", 1 << 30)
 )
@@ -345,11 +346,13 @@ def score_bucket_col_any_query(
     COL_CARRY_TEMP_BYTES).
 
     KEEP IN SYNC with parallel/sharding.py::_col_chunked_local — the
-    same tile-group/boundary-carry algorithm inside a shard_map (host
-    syncs are impossible there, so groups serialize via a fake data
-    dependency instead of np.asarray).  Changes to the temp budget,
-    carry semantics, or the single-group special case must land in
-    both.
+    same tile-group/boundary-carry algorithm inside a shard_map.
+    Intentional divergence: this eager path pipelines groups lag-1
+    (two groups' carries live, see below), while the shard_map twin
+    strictly serializes groups via a fake data dependency (host syncs
+    are impossible there, and per-shard tile counts are smaller).
+    Changes to the temp budget, carry semantics, or the single-group
+    special case must still land in both.
 
     ``codes``: encoded query (numpy int8/int32, host).  Returns f32
     [T, G*NSL] scores (device array).
@@ -370,6 +373,10 @@ def score_bucket_col_any_query(
     T, L, g, nsl = tiles.shape
     budget = COL_CARRY_TEMP_BYTES if temp_bytes is None else temp_bytes
     per_tile_state = 2 * L * g * nsl * 4
+    # tc sizes ONE group's carry at ~budget (in+out states ~2x); the
+    # lag-1 pipeline below keeps TWO groups live, so peak HBM use is
+    # ~4x the budget — the default 1 GiB budget is set with that
+    # multiplier in mind (docs at COL_CARRY_TEMP_BYTES).
     tc = T if len(chunks) == 1 else max(1, min(T, budget // per_tile_state))
 
     multi = tc < T
@@ -541,6 +548,148 @@ def _sw_col_flat_kernel_entry(*refs, LCk, U, S, OFFS, RTOT, state_dtype,
                         state_dtype=state_dtype, A=A)
 
 
+#: Flat-pool passes with at least this many slots use the masked-FUSED
+#: row loop (one row loop over the concatenated slot queries with
+#: per-step boundary masks) instead of S Python-unrolled slot loops.
+#: <=0 (the DEFAULT) disables fusion: the round-5 A/B on v5e
+#: (tools/colfusebench.py, tools/colfusediag.py) measured the fused
+#: kernel 7-11% SLOWER than the slot-unrolled one at every S — and the
+#: isolation showed the loss is NOT the boundary machinery: a stripped
+#: variant with no masks at all, and a per-column static-offset nest,
+#: both still ran 5-10% below the slot-unrolled kernel (Mosaic's
+#: schedule for the proven structure degrades under every
+#: restructuring, the same hypersensitivity the round-2 LUT-hoist
+#: experiment hit).  So the S-slot row-loop-entry tax (~5% at S=3, ~8%
+#: at S=6, tools/colunroll.py) is CHEAPER than the fix; ROADMAP item 3
+#: is closed by measurement.  The kernel stays available (exact,
+#: tested): its compile key is slot-composition-independent — one
+#: program per (S, rtot) instead of one per static offset tuple —
+#: which may pay on platforms where per-program cold-start cost
+#: dominates (see the fused big-state stall writeup) or on TPU
+#: generations that schedule the masked loop better.
+COL_FUSE_MIN_S = int(_os.environ.get("CUDASW4_TPU_COL_FUSE_MIN_S", 0))
+
+
+def _sw_col_flat_fused_kernel(refs, *, LCk, U, S, RTOT,
+                              state_dtype=jnp.int32, A=ALPHABET_SIZE):
+    """Masked-fused flat-pool kernel: ONE row loop walks the S slots'
+    concatenated query rows; per-step scalar control marks slot
+    boundaries, where the DP carries (hdiag/hprev/freg — the virtual
+    row above a slot start is H=0/F=-inf for local alignment) and the
+    running max reset via vector selects, and the finished slot's max
+    flushes into its m_ref row.
+
+    vs the slot-unrolled kernel (_sw_col_flat_kernel): rows pack
+    GAPLESS at the unroll granule (no FLAT_QUANT reservation waste),
+    the compile key is (T, L, S, RTOT, unroll, exact) — independent of
+    the slot composition, so query mixes share one program (the
+    slot-unrolled kernel compiles per static OFFS tuple) — and each
+    column pays one row-loop entry instead of S.  The boundary masks
+    cost ~4 selects per U rows whether S is 1 or 8, which is why this
+    variant only dispatches at S >= COL_FUSE_MIN_S.
+
+    The reference analog of the S-slot sharing is the
+    all-partitions-per-upload batching (cudasw4.cuh:1742-2103); the
+    boundary-mask trick has no CUDA counterpart (there, independent
+    alignments are simply different warps)."""
+    (params_ref, q_ref, ctrl_ref, b_ref, x_ref, out_ref,
+     lut_ref, hcol_ref, ecol_ref, m_ref) = refs
+
+    nr = params_ref[0]  # total concatenated rows, multiple of U
+    gop = params_ref[1]
+    gex = params_ref[2]
+    c = pl.program_id(1)
+
+    build_sub_lut(x_ref, b_ref, lut_ref, (LCk, G, NSL), A=A)
+
+    narrow = state_dtype != jnp.int32
+    sat = jnp.int32(SAT)
+    zero = m_ref[0] * 0
+    negv = zero + NEG
+    negs = zero + (NEG16 if narrow else NEG)
+    nsteps = nr // U
+
+    @pl.when(c == 0)
+    def _():
+        for qb in range(S):
+            m_ref[qb] = zero
+
+        def izero(i, _):
+            hcol_ref[pl.ds(i * U, U)] = jnp.stack(
+                [zero.astype(state_dtype)] * U
+            )
+            ecol_ref[pl.ds(i * U, U)] = jnp.stack(
+                [negs.astype(state_dtype)] * U
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nsteps, izero, 0)
+
+    def col_step(j, carry):
+        def row_step(ii, icarry):
+            hdiag, hprev, freg, m = icarry
+            i0 = ii * U
+            fl = ctrl_ref[ii]  # slot ending at this step's boundary, or -1
+            bnd = fl >= 0
+
+            # Flush the finished slot's running max (reads m BEFORE the
+            # boundary reset below).  Rare: S-1 stores per column.
+            @pl.when(bnd)
+            def _(m=m):
+                prev = m_ref[pl.ds(fl, 1)]
+                m_ref[pl.ds(fl, 1)] = jnp.maximum(prev, m[None])
+
+            # Boundary reset: the virtual row above a slot's first row
+            # is H = 0 (both columns) and F = -inf.
+            hdiag = jnp.where(bnd, zero, hdiag)
+            hprev = jnp.where(bnd, zero, hprev)
+            freg = jnp.where(bnd, negv, freg)
+            m = jnp.where(bnd, zero, m)
+
+            hc_s = hcol_ref[pl.ds(i0, U)].astype(jnp.int32)
+            ec_s = ecol_ref[pl.ds(i0, U)].astype(jnp.int32)
+            hnew = []
+            enew = []
+            for u in range(U):
+                qi = q_ref[i0 + u]
+                sub = lut_ref[qi, j].astype(jnp.int32)
+                hc = hc_s[u]
+                e = jnp.maximum(ec_s[u] + gex, hc + gop)
+                f = jnp.maximum(freg + gex, hprev + gop)
+                h = jnp.maximum(hdiag + sub, jnp.maximum(e, f))
+                h = jnp.maximum(h, 0)
+                m = jnp.maximum(m, h)
+                hnew.append(h)
+                enew.append(e)
+                hdiag = hc
+                hprev = h
+                freg = f
+            hs = jnp.stack(hnew)
+            if narrow:
+                hs = jnp.minimum(hs, sat)
+            hcol_ref[pl.ds(i0, U)] = hs.astype(state_dtype)
+            ecol_ref[pl.ds(i0, U)] = jnp.stack(enew).astype(state_dtype)
+            return (hdiag, hprev, freg, m)
+
+        _, _, _, mlast = jax.lax.fori_loop(
+            0, nsteps, row_step, (zero, zero, negv, zero)
+        )
+        # The last slot has no following boundary: flush it here
+        # (static index).
+        m_ref[S - 1] = jnp.maximum(m_ref[S - 1], mlast)
+        return carry
+
+    jax.lax.fori_loop(0, LCk, col_step, 0)
+    for qb in range(S):
+        out_ref[0, qb] = m_ref[qb].astype(jnp.float32)
+
+
+def _sw_col_flat_fused_kernel_entry(*refs, LCk, U, S, RTOT, state_dtype,
+                                    A=ALPHABET_SIZE):
+    _sw_col_flat_fused_kernel(refs, LCk=LCk, U=U, S=S, RTOT=RTOT,
+                              state_dtype=state_dtype, A=A)
+
+
 #: Offset quantum for the flat pool: slot reservations round up to a
 #: multiple of this, so the static offset tuples (part of the kernel
 #: compile key) take few distinct values across query mixes and the
@@ -620,4 +769,101 @@ def score_bucket_pallas_col_flat(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )(params, queries, matrix_flat, tiles)
+    return res[0].transpose(1, 0, 2, 3).reshape(S, T, g * nsl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rtot", "interpret", "unroll", "exact"),
+)
+def score_bucket_pallas_col_flat_fused(
+    tiles: jax.Array,  # int8 [T, L, G, NSL], L % LC == 0
+    queries: jax.Array,  # int32 [S, W] query slots (pad-letter padded)
+    matrix_flat: jax.Array,  # int32 [A*A]
+    params: jax.Array,  # int32 [4+S]: _, gop, gex, _, nqp_0..nqp_{S-1}
+    rtot: int | None = None,
+    interpret: bool = False,
+    unroll: int | None = None,
+    exact: bool = True,
+):
+    """Masked-fused twin of score_bucket_pallas_col_flat: same contract
+    (scores f32 [S, T, G*NSL]; caller guarantees every nqp is a multiple
+    of ``unroll`` and sum(nqp) <= rtot), but slots pack GAPLESS into one
+    concatenated row walk — no static offsets, so one compiled program
+    serves every slot composition with the same (S, rtot).  Dispatched
+    by batch_col_scores for passes with >= COL_FUSE_MIN_S slots."""
+    unroll = DEFAULT_UNROLL if unroll is None else unroll
+    T, L, g, nsl = tiles.shape
+    S, W = queries.shape
+    A = _alphabet_dim(matrix_flat)
+    RTOT = NQC if rtot is None else rtot
+    assert (g, nsl) == (G, NSL), (g, nsl)
+    assert L % LC == 0, L
+    assert W <= RTOT, (W, RTOT)
+    assert RTOT % unroll == 0, (RTOT, unroll)
+    C = L // LC
+    state_dtype = jnp.int32 if exact else jnp.int16
+    state_bytes = 4 if exact else 2
+    U = unroll
+
+    # Concatenate the slots' rows gapless (device-side; trivial next to
+    # the scan): qcat[starts[qb] + i] = queries[qb, i] for i < nqp_qb,
+    # and ctrl[step] = the slot that ENDS at that step boundary (-1
+    # elsewhere) — every nqp is a multiple of U, so boundaries only
+    # land on step starts.
+    nqp = params[4 : 4 + S].astype(jnp.int32)
+    rused = jnp.sum(nqp)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(nqp)[:-1]]
+    )
+    iw = jnp.arange(W, dtype=jnp.int32)
+    tgt = starts[:, None] + iw[None, :]
+    valid = iw[None, :] < nqp[:, None]
+    tgt = jnp.where(valid, tgt, RTOT)  # out-of-range rows drop
+    qcat = (
+        jnp.zeros((RTOT,), jnp.int32)
+        .at[tgt.reshape(-1)]
+        .set(queries.astype(jnp.int32).reshape(-1), mode="drop")
+    )
+    nst = RTOT // U
+    ctrl = (
+        jnp.full((nst,), -1, jnp.int32)
+        .at[starts[1:] // U]
+        .set(jnp.arange(S - 1, dtype=jnp.int32), mode="drop")
+    )
+    pf = jnp.stack(
+        [rused, params[1], params[2], jnp.zeros((), jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(T, C),
+        in_specs=[
+            pl.BlockSpec((1, LC, g, nsl), lambda t, c, *_: (t, c, 0, 0))
+        ],
+        out_specs=[
+            pl.BlockSpec((1, S, g, nsl), lambda t, c, *_: (t, 0, 0, 0))
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((A, LC, g, nsl), jnp.int8),
+            pltpu.VMEM((RTOT, g, nsl), state_dtype),
+            pltpu.VMEM((RTOT, g, nsl), state_dtype),
+            pltpu.VMEM((S, g, nsl), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _sw_col_flat_fused_kernel_entry, LCk=LC, U=unroll, S=S,
+        RTOT=RTOT, state_dtype=state_dtype, A=A,
+    )
+    chunk = LC * g * nsl
+    state = 2 * RTOT * g * nsl * state_bytes
+    vmem_bytes = chunk * A + state + 4 * chunk + 8 * chunk * 4
+    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), _VMEM_CAP)
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((T, S, g, nsl), jnp.float32),),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(pf, qcat, ctrl, matrix_flat, tiles)
     return res[0].transpose(1, 0, 2, 3).reshape(S, T, g * nsl)

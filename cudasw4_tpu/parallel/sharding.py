@@ -83,8 +83,12 @@ def _col_chunked_local(tiles, qchunks, pcs, mat_flat, nchunks: int, exact):
     mirroring the reference's maxTempBytes subject batching.
 
     KEEP IN SYNC with ops/sw_pallas_col.py::score_bucket_col_any_query
-    (the single-device twin; it serializes groups via host sync, here a
-    fake data dependency does it inside the shard_map)."""
+    (the single-device twin).  Intentional divergence: the eager twin
+    pipelines groups lag-1 (two groups' carries live at once, hiding
+    the host round-trip), while this shard_map body strictly serializes
+    groups via a fake data dependency — host syncs are impossible here
+    and XLA would otherwise schedule every group's carry live at
+    once."""
     from ..ops import INTERPRET, sw_pallas_col
 
     T, L, g, nsl = tiles.shape
@@ -602,6 +606,30 @@ def build_sharded_col_batch_scorer(mesh: Mesh, offs: tuple = ()):
     def body(tiles, queries, mat_flat, params):
         return sw_pallas_col.score_bucket_pallas_col_flat(
             tiles, queries, mat_flat, params, offs=offs,
+            interpret=INTERPRET, exact=True,
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def build_sharded_col_batch_scorer_fused(mesh: Mesh):
+    """Masked-fused twin of build_sharded_col_batch_scorer: slots pack
+    gapless into one row walk, so no static offsets — one builder (and
+    one compiled program per slot count) serves every composition."""
+    from ..ops import INTERPRET, sw_pallas_col
+
+    axis = mesh.axis_names[0]
+
+    def body(tiles, queries, mat_flat, params):
+        return sw_pallas_col.score_bucket_pallas_col_flat_fused(
+            tiles, queries, mat_flat, params,
             interpret=INTERPRET, exact=True,
         )
 

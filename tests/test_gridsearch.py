@@ -156,3 +156,81 @@ def test_tuned_unroll_stays_exact(rng, monkeypatch):
     want = sw_score_scalar(q, seq, cfg.matrix, cfg.gop, cfg.gex)
     assert int(np.asarray(got).reshape(-1)[0]) == want
     sw_pallas_col.score_bucket_pallas_col._clear_cache()
+
+
+def test_derive_tuning_unroll_noise_tie(monkeypatch):
+    """Round-5 rule (VERDICT r04 weak #3): the library-default unroll
+    keeps a key unless a candidate beats it by >2% — noise-level "wins"
+    must not flip shipped geometry (the r04 cell-U8 deltas reversed
+    between same-day runs)."""
+    from cudasw4_tpu.cli import gridsearch
+    from cudasw4_tpu.ops import sw_pallas_cell, sw_pallas_col
+
+    monkeypatch.setattr(sw_pallas_cell, "DEFAULT_UNROLL", 4)
+    monkeypatch.setattr(sw_pallas_col, "DEFAULT_UNROLL", 8)
+
+    # U8 "wins" by 1.5% — within the noise band, default 4 keeps the key.
+    cfg = gridsearch.derive_tuning([
+        ("cell", 256, 4, 8, 128, 0.1, 200.0),
+        ("cell", 256, 8, 8, 128, 0.1, 203.0),
+    ])
+    assert cfg["cell_unroll"] == 4
+
+    # U8 wins by >2% — flips.
+    cfg = gridsearch.derive_tuning([
+        ("cell", 256, 4, 8, 128, 0.1, 200.0),
+        ("cell", 256, 8, 8, 128, 0.1, 210.0),
+    ])
+    assert cfg["cell_unroll"] == 8
+
+    # Default not measured: plain argmax.
+    cfg = gridsearch.derive_tuning([
+        ("col", 1024, 4, 8, 128, 0.1, 150.0),
+        ("col", 1024, 16, 8, 128, 0.1, 151.0),
+    ])
+    assert cfg["col_unroll"] == 16
+
+
+def test_select_col_geometry_incumbent_anchored():
+    """The (NQC, LC) pick is order-independent and anchored on the
+    incumbent's own measurement (advisor r04: the running-best margin
+    gave the first-measured candidate the hysteresis advantage)."""
+    from cudasw4_tpu.cli.gridsearch import select_col_geometry
+
+    inc = (3072, 128)
+    # Candidate beats incumbent by 1% — keep incumbent, in BOTH orders.
+    rows = [(2048, 128, 2048, 301.0), (3072, 128, 2048, 300.0)]
+    assert select_col_geometry(rows, inc) == inc
+    assert select_col_geometry(rows[::-1], inc) == inc
+    # Candidate beats incumbent by >2% — flips, in both orders.
+    rows = [(2048, 128, 2048, 310.0), (3072, 128, 2048, 300.0)]
+    assert select_col_geometry(rows, inc) == (2048, 128)
+    assert select_col_geometry(rows[::-1], inc) == (2048, 128)
+    # Incumbent unmeasured: plain argmax.
+    rows = [(2048, 128, 2048, 200.0), (1024, 256, 2048, 201.0)]
+    assert select_col_geometry(rows, inc) == (1024, 256)
+    # Empty sweep keeps the incumbent.
+    assert select_col_geometry([], inc) == inc
+
+
+def test_apply_tuning_never_half_applies(monkeypatch):
+    """A config with a valid early key and an invalid later key must
+    leave ALL geometry untouched (advisor r04 medium: assignments
+    before the failing key used to stick, with stale kernel traces)."""
+    import pytest
+
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.ops import sw_pallas_cell, sw_pallas_col
+
+    monkeypatch.setattr(packing, "CELL_MAX_L", 768)
+    monkeypatch.setattr(sw_pallas_cell, "DEFAULT_UNROLL", 4)
+    monkeypatch.setattr(sw_pallas_col, "NQC", 3072)
+    with pytest.raises(ValueError):
+        packing.apply_tuning({
+            "cell_max_l": 256,     # valid, must NOT stick
+            "cell_unroll": 8,      # valid, must NOT stick
+            "col_nqc": 1000,       # invalid (not a multiple of 128)
+        })
+    assert packing.CELL_MAX_L == 768
+    assert sw_pallas_cell.DEFAULT_UNROLL == 4
+    assert sw_pallas_col.NQC == 3072
