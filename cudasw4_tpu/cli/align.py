@@ -36,6 +36,7 @@ def parse_args(argv: list[str]) -> dict:
     opts = {
         "help": False,
         "verbose": False,
+        "warmup": False,
         "interactive": False,
         "print_length_partitions": False,
         "upload_full": False,
@@ -76,6 +77,8 @@ def parse_args(argv: list[str]) -> dict:
             opts["verbose"] = True
         elif a == "--interactive":
             opts["interactive"] = True
+        elif a == "--warmup":
+            opts["warmup"] = True
         elif a == "--printLengthPartitions":
             opts["print_length_partitions"] = True
         elif a == "--uploadFull":
@@ -161,6 +164,10 @@ HELP = """Usage: align [options]
       --verbose : More console output. Shows timings.
       --printLengthPartitions : Print number of sequences per length bucket in db.
       --interactive : Loads DB, then waits for sequence input by user
+      --warmup : Pre-execute every kernel program shape the DB can trigger at
+           startup, so no query pays first-execution compile/load costs (on
+           remote-compile platforms the first large column-kernel execution can
+           otherwise stall for minutes).  Default on in --interactive mode.
       --help : Print this message
 
    Performance and benchmarking
@@ -170,6 +177,12 @@ HELP = """Usage: align [options]
       --maxBatchBytes/--maxBatchSequences/--maxTempBytes/--maxGpuMem : memory tuning
       --tuning file.json : Apply a gridsearch --emit-config tuning file (kernel speed
            ratios for the bucket layout chooser; also via env CUDASW4_TPU_TUNING).
+           Without it, a committed config matching the detected TPU generation
+           (cudasw4_tpu/tuning/) applies automatically; CUDASW4_TPU_AUTO_TUNING=0
+           opts out.  Note: the first scan that triggers a large column-kernel
+           program in a fresh process can stall for minutes on remote-compile
+           platforms while the server loads it (a one-time per-shape cost);
+           --warmup pre-pays it at startup.
       --singlePassType/--manyPassType_small/--manyPassType_large/--overflowType val, --dpx :
            Kernel family selection (Half2|DPXs16|DPXs32|Float).  Half2/DPXs16 (or --dpx)
            select the int16-state fast path with exact int32 overflow re-scan; Float/DPXs32
@@ -258,6 +271,13 @@ def run(argv=None) -> int:
         # the second axis of the reference's copy plan (options.cpp:121).
         max_batch_sequences=opts["max_batch_sequences"],
         verbose=opts["verbose"],
+        # Interactive mode warms by default: its whole point is
+        # per-query latency, and a fresh process's first long query can
+        # otherwise stall minutes on remote-compile platforms while the
+        # big-scratch column program loads (the reference compiles
+        # everything at build time, so its interactive first-query
+        # latency is never pathological, main.cu:336-424).
+        warmup=opts["warmup"] or opts["interactive"],
     )
     # Kernel-type selection (reference KernelTypeConfig, options.cpp:154-200
     # + the --dpx preset at :196-201): the 16-bit families (Half2/DPXs16)

@@ -169,6 +169,8 @@ def apply_tuning(cfg) -> None:
     if "col_lc" in pend:
         geom |= pend["col_lc"] != sw_pallas_col.LC
         sw_pallas_col.LC = pend["col_lc"]
+    global _tuning_applied
+    _tuning_applied = True
     if geom:
         for fn in (
             sw_pallas_cell.score_bucket_pallas_cell,
@@ -178,6 +180,53 @@ def apply_tuning(cfg) -> None:
             sw_pallas_col.score_bucket_pallas_col_flat_fused,
         ):
             fn._clear_cache()
+
+
+#: Set by apply_tuning: once ANY tuning has been applied in this process
+#: (env var, --tuning, or auto), auto_apply_tuning becomes a no-op — an
+#: explicit config always wins over the packaged defaults.
+_tuning_applied = False
+
+
+def auto_apply_tuning(device_kind: str, verbose: bool = False) -> str | None:
+    """Apply the committed tuning config matching the detected TPU
+    generation, if one ships in cudasw4_tpu/tuning/ — the analog of the
+    reference's baked partId->(group_size,numRegs) dispatch table being
+    the DEFAULT (/root/reference/src/cudasw4.cuh:1767-1800: gridsearch
+    results are hand-baked into the source, no flag needed), where this
+    build previously required --tuning to pick up its own measurements.
+
+    Returns the applied config path, or None (no match / already tuned /
+    opted out via CUDASW4_TPU_AUTO_TUNING=0).  Matching is by the
+    config's "platform" field == jax's device_kind for the first
+    device.  Never raises: a malformed packaged config is skipped (the
+    engine must construct on any platform)."""
+    global _tuning_applied
+    if _tuning_applied:
+        return None
+    if os.environ.get("CUDASW4_TPU_AUTO_TUNING", "1") == "0":
+        return None
+    import glob
+    import json
+
+    tdir = os.path.join(os.path.dirname(__file__), "..", "tuning")
+    for path in sorted(glob.glob(os.path.join(tdir, "*.json"))):
+        try:
+            with open(path) as f:
+                cfg = json.load(f)
+            if cfg.get("platform") != device_kind:
+                continue
+            apply_tuning(cfg)
+        except (OSError, ValueError, TypeError):
+            continue
+        if verbose:
+            print(
+                f"Applied committed {device_kind} tuning: "
+                f"{os.path.normpath(path)} "
+                "(opt out: CUDASW4_TPU_AUTO_TUNING=0)"
+            )
+        return path
+    return None
 
 
 if os.environ.get("CUDASW4_TPU_TUNING"):

@@ -88,6 +88,7 @@ class SearchEngine(StreamingEngineMixin):
         stream_chunk_bytes: int = 256 << 20,
         max_batch_sequences: int | None = None,
         verbose: bool = False,
+        warmup: bool = False,
     ):
         self.scoring = scoring or make_scoring_config("blosum62")
         self.num_top = num_top
@@ -97,6 +98,9 @@ class SearchEngine(StreamingEngineMixin):
         self.max_device_bytes = max_device_bytes
         self.stream_chunk_bytes = stream_chunk_bytes
         self.max_batch_sequences = max_batch_sequences
+        # Pre-execute program shapes at set_database time (--warmup; see
+        # warmup()).  Interactive mode turns this on by default.
+        self.warmup_on = warmup
         self.streaming = False
         # int16 DP state + overflow escalation (the reference's dpx_s16
         # model).  Off by default: on v5e the i16<->i32 pack/unpack costs
@@ -136,6 +140,16 @@ class SearchEngine(StreamingEngineMixin):
         if backend == "auto":
             backend = "pallas" if platform == "tpu" else "jnp"
         self.backend = backend
+        if self.backend == "pallas":
+            # Measured per-generation geometry is the DEFAULT, like the
+            # reference's baked dispatch table (cudasw4.cuh:1767-1800);
+            # an explicit --tuning / CUDASW4_TPU_TUNING wins, opt out
+            # with CUDASW4_TPU_AUTO_TUNING=0.
+            from .db.packing import auto_apply_tuning
+
+            auto_apply_tuning(
+                jax.devices()[0].device_kind, verbose=self.verbose
+            )
         # Alphabet padding code: 20 classic, 25 full-blosum (a dedicated
         # code whose matrix row is all-negative — padding must never be
         # able to raise a local-alignment score).
@@ -176,6 +190,7 @@ class SearchEngine(StreamingEngineMixin):
         self._bucket_tiles = []
         self._sharded_tiles = None
         self._sharded_idx = None
+        self._scan_fn_inner = None
         if pack_cache:
             from .db.packing import (
                 load_packed,
@@ -328,6 +343,157 @@ class SearchEngine(StreamingEngineMixin):
                 f"{self.packed.total_real_chars} residues, "
                 f"{len(self.packed.buckets)} buckets, pack time {dt:.2f}s"
             )
+        if self.warmup_on:
+            if self.verbose:
+                print(
+                    "Warming kernel programs (first-time compile/load; "
+                    "cold caches can take minutes)..."
+                )
+            self.warmup()
+
+    def warmup(self) -> int:
+        """Pre-execute the compiled program shapes this database can
+        trigger for single scans, so no user query pays first-execution
+        costs.  Returns the number of programs warmed.
+
+        Rationale (docs/PERFORMANCE.md "fused big-state crash"): on
+        remote-compile platforms the server-side load of a program
+        containing a >=64 MB-VMEM-scratch column kernel stalls 80-750 s
+        at FIRST execution — so a fresh process's first long query
+        (including the reference's latency-sensitive interactive mode,
+        /root/reference/src/main.cu:336-424, where all compilation
+        happened at build time and first-query latency is never
+        pathological) can silently hang for minutes.  The engine knows
+        every shape at set_database time: the per-kinds fused scan
+        programs (minimal row counts — DP loops stop at the dummy row
+        count, so this costs per-tile fixed overhead only) and, for
+        each column bucket, the chunked-carry group/boundary variants a
+        query beyond the NQC row pool dispatches.
+
+        Streaming and mesh databases warm their common path via one
+        tiny scan (per-chunk program shapes are dispatch-driven there);
+        the chunked long-query variants are only enumerable on the
+        single-chip resident path."""
+        if self.packed is None:
+            raise RuntimeError("set_database() must be called first")
+        t0 = time.perf_counter()
+        n = 0
+        if self.streaming or self._mesh_ndev() > 1:
+            self.scan([0])
+            if self.verbose:
+                print(
+                    f"warmup: 1 {'streaming' if self.streaming else 'mesh'}"
+                    f" scan pass ({time.perf_counter() - t0:.1f}s)"
+                )
+            return 1
+        if self.backend != "pallas" or not self.packed.buckets:
+            return 0
+        qpad, params = self._single_qpad(np.zeros(1, np.int8))
+        kinds_base = tuple(bucket_kind(b) for b in self.packed.buckets)
+        exact = not self.state16
+        for kds in dict.fromkeys(
+            (kinds_base, self._single_kinds(self.COL_SINGLE_MIN_ROWS))
+        ):
+            np.asarray(self._scan_fn_inner(
+                jnp.asarray(qpad), jnp.asarray(params),
+                tuple(self._bucket_tiles), self._valid, self._flat_idx,
+                self._matrix_flat, self._matrix_f32,
+                exact=exact, kinds=kds,
+            )[0])
+            n += 1
+            if self.verbose:
+                print(
+                    f"warmup: scan program {n} "
+                    f"({time.perf_counter() - t0:.1f}s)"
+                )
+        any_col = False
+        for tiles, b in zip(self._bucket_tiles, self.packed.buckets):
+            if bucket_kind(b) != "col":
+                continue
+            any_col = True
+            n += self._warmup_col_chunked(tiles, t0)
+        if any_col:
+            # The chunked long-query branch dispatches noncol_fn and
+            # finish_fn as separate programs — pre-execute them with
+            # minimal inputs (shapes match the real branch exactly).
+            noncol_tiles = tuple(
+                t for t, b in zip(self._bucket_tiles, self.packed.buckets)
+                if bucket_kind(b) != "col"
+            )
+            parts = list(self._noncol_fn(
+                jnp.asarray(qpad), jnp.asarray(params), noncol_tiles,
+                self._matrix_flat, self._matrix_f32, exact=exact,
+            ))
+            pi = iter(parts)
+            full = tuple(
+                next(pi).reshape(-1)
+                if bucket_kind(b) != "col"
+                else jnp.zeros(t.shape[0] * t.shape[2] * t.shape[3],
+                               jnp.float32)
+                for t, b in zip(self._bucket_tiles, self.packed.buckets)
+            )
+            np.asarray(self._finish_fn(
+                full, self._valid, self._flat_idx
+            )[0])
+            n += 2
+            if self.verbose:
+                print(
+                    "warmup: long-query merge programs "
+                    f"({time.perf_counter() - t0:.1f}s)"
+                )
+        if self.verbose:
+            print(
+                f"warmup: {n} programs in {time.perf_counter() - t0:.1f}s"
+            )
+        return n
+
+    def _warmup_col_chunked(self, tiles, t0) -> int:
+        """Warm the chunked-query column programs one bucket's tiles can
+        dispatch (score_bucket_col_any_query's group/boundary variants),
+        each with a minimal dummy row count."""
+        from .ops import INTERPRET
+
+        T, L, g, nsl = tiles.shape
+        per_tile_state = 2 * L * g * nsl * 4
+        tc = max(
+            1, min(T, sw_pallas_col.COL_CARRY_TEMP_BYTES // per_tile_state)
+        )
+        cu = sw_pallas_col.DEFAULT_UNROLL
+        qpad = np.full(sw_pallas_col.NQC, self._pad, dtype=np.int32)
+        pc = jnp.asarray(np.array(
+            [cu, self.scoring.gop, self.scoring.gex, 0], np.int32
+        ))
+        qdev = jnp.asarray(qpad)
+        groups = [min(tc, T)]
+        if tc < T and T % tc:
+            groups.append(T % tc)
+        n = 0
+        for gt in groups:
+            sub = tiles[:gt]
+            zstate = (
+                jnp.zeros((gt, L, g, nsl), jnp.int32),
+                jnp.zeros((gt, L, g, nsl), jnp.int32),
+            )
+            for take, emit in ((False, True), (True, True), (True, False)):
+                res = sw_pallas_col.score_bucket_pallas_col(
+                    sub, qdev, self._matrix_flat, pc,
+                    state_in=zstate if take else None, take_init=take,
+                    emit_state=emit, interpret=INTERPRET,
+                    # unroll is a STATIC jit arg: pass the resolved value
+                    # the real path passes (score_bucket_col_any_query
+                    # resolves None before calling), or the warmed cache
+                    # entry would not be the one real queries hit.
+                    unroll=cu, exact=True,
+                )
+                np.asarray(res[0] if emit else res)
+                n += 1
+                if self.verbose:
+                    print(
+                        f"warmup: col L={L} tiles={gt} take={int(take)} "
+                        f"emit={int(emit)} "
+                        f"({time.perf_counter() - t0:.1f}s)"
+                    )
+        return n
 
     @property
     def results_per_query(self) -> int:
@@ -431,6 +597,17 @@ class SearchEngine(StreamingEngineMixin):
         @jax.jit
         def finish_fn(parts, valid, flat_idx):
             return topk(list(parts), valid, flat_idx)
+
+        # Stashed for warmup(): pre-executing a kinds variant needs the
+        # inner jitted fn with kinds forced while the row count stays
+        # minimal (run() derives kinds from the row count).  noncol_fn
+        # and finish_fn are the chunked long-query branch's own
+        # programs — on remote-compile platforms even small programs
+        # pay several seconds of server-side load at first execution,
+        # so warmup pre-executes them too.
+        self._scan_fn_inner = scan_fn
+        self._noncol_fn = noncol_fn
+        self._finish_fn = finish_fn
 
         def run(qpad, params, codes=None, exact=False):
             nq_pad = int(params[3])

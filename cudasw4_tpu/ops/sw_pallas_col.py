@@ -71,6 +71,13 @@ NQC = int(_os.environ.get("CUDASW4_TPU_COL_NQC", 3072))
 #: NQC=3072 state plus LUT and carry-io blocks measures stable at 118 MB).
 _VMEM_CAP = int(_os.environ.get("CUDASW4_TPU_COL_VMEM_CAP", 118 << 20))
 
+#: Ceiling for the carry-in+carry-out exact variant only (see the vmem
+#: computation in score_bucket_pallas_col): needs ~123.5 MB at default
+#: geometry, verified to compile and run at this request on v5e.
+_VMEM_CAP_CARRY = int(
+    _os.environ.get("CUDASW4_TPU_COL_VMEM_CAP_CARRY", 127 << 20)
+)
+
 #: State-pool rows for flat-pool passes that run FUSED into one XLA
 #: program alongside other passes (the mesh-resident batch scan).
 #: Round-4 root cause (tools/fusedcrash.py, docs/PERFORMANCE.md "fused
@@ -282,7 +289,17 @@ def score_bucket_pallas_col(
     state = NQC * g * nsl * 4 * 2
     io = chunk * (2 + 4 * (2 * int(take_init) + 2 * int(emit_state)))
     vmem_bytes = chunk * A + state + io + 8 * chunk * 4
-    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), _VMEM_CAP)
+    # The take+emit exact variant (middle chunks of >= 3-chunk queries,
+    # i.e. queries beyond 2*NQC rows) carries BOTH boundary-state io
+    # sets and needs ~123.5 MB at the default geometry — above the 118
+    # MB cap that every other variant fits (round-5 warmup() exposed
+    # this: the shape had never executed on real hardware because the
+    # reference ladder tops out at 5478 aa = 2 chunks).  Let it request
+    # up to the core's full 128 MB; Mosaic still verifies the fit.
+    cap = _VMEM_CAP
+    if take_init and emit_state and exact:
+        cap = max(cap, _VMEM_CAP_CARRY)
+    vmem_bytes = min(max(int(vmem_bytes), 48 << 20), cap)
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -234,3 +234,55 @@ def test_apply_tuning_never_half_applies(monkeypatch):
     assert packing.CELL_MAX_L == 768
     assert sw_pallas_cell.DEFAULT_UNROLL == 4
     assert sw_pallas_col.NQC == 3072
+
+
+def test_auto_apply_tuning(monkeypatch):
+    """Round-5 (VERDICT r04 next #7): the committed per-generation config
+    applies automatically (the reference's baked dispatch table IS its
+    default), explicit tuning wins, and the env knob opts out."""
+    from cudasw4_tpu.db import packing
+
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 1.0)
+    monkeypatch.setattr(packing, "_tuning_applied", False)
+
+    # Unknown platform: no-op.
+    assert packing.auto_apply_tuning("TPU v99 mega") is None
+    assert packing.CELL_SPEEDUP == 1.0
+
+    # Matching platform: the packaged v5e config applies.
+    path = packing.auto_apply_tuning("TPU v5 lite")
+    assert path is not None and path.endswith("v5e.json")
+    assert packing.CELL_SPEEDUP == 3.462
+    # ... and only once per process.
+    monkeypatch.setattr(packing, "CELL_SPEEDUP", 1.0)
+    assert packing.auto_apply_tuning("TPU v5 lite") is None
+    assert packing.CELL_SPEEDUP == 1.0
+
+    # An explicit apply_tuning beforehand blocks auto (explicit wins).
+    monkeypatch.setattr(packing, "_tuning_applied", False)
+    packing.apply_tuning({"cell_speedup": 7.0})
+    assert packing.auto_apply_tuning("TPU v5 lite") is None
+    assert packing.CELL_SPEEDUP == 7.0
+
+    # Opt-out env var.
+    monkeypatch.setattr(packing, "_tuning_applied", False)
+    monkeypatch.setenv("CUDASW4_TPU_AUTO_TUNING", "0")
+    assert packing.auto_apply_tuning("TPU v5 lite") is None
+    assert packing.CELL_SPEEDUP == 7.0
+
+
+def test_engine_auto_tuning_hook(monkeypatch):
+    """SearchEngine on the pallas backend consults auto_apply_tuning with
+    the detected device kind (CPU backends never do)."""
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.engine import SearchEngine
+
+    calls = []
+    monkeypatch.setattr(
+        packing, "auto_apply_tuning",
+        lambda kind, verbose=False: calls.append(kind) or None,
+    )
+    SearchEngine(backend="pallas")
+    assert len(calls) == 1
+    SearchEngine(backend="jnp")
+    assert len(calls) == 1
