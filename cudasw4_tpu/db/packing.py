@@ -233,21 +233,43 @@ if os.environ.get("CUDASW4_TPU_TUNING"):
     apply_tuning(os.environ["CUDASW4_TPU_TUNING"])
 
 
-#: Padded-length ladder for the long tail (> CELL_MAX_L): multiples of 128
-#: (the column kernel's chunk size) in ~1.2x steps so the jit compile cache
-#: stays bounded across databases.
-LONG_LADDER = [
-    640, 768, 896, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 3584, 4096,
-    5120, 6144, 7168, 8192, 10240, 12288, 14336, 16384, 20480, 24576,
-    28672, 32768, 40960, 49152, 57344, 65536,
-]
-
-
 def ladder_length(length: int) -> int:
-    for e in LONG_LADDER:
-        if length <= e:
-            return e
-    return -(-length // 8192) * 8192
+    """Padded length for a long-tail (> CELL_MAX_L) 4096-subject group:
+    the group's max length rounded up to the column kernel's 128-column
+    chunk (coarser granules higher up bound the number of distinct
+    compiled shapes across databases).  Round 5 replaced the earlier
+    ~1.2x-step ladder: on the 5M-seq sprot-like mix the ladder's
+    overshoot (e.g. a 2100-max group padded to 2560) was ~1% of total
+    DB padding for zero benefit — the compile cache stays bounded by
+    the granule alone (<= 32 + 24 + a handful of values)."""
+    if length <= 4096:
+        return -(-length // 128) * 128
+    if length <= 16384:
+        return -(-length // 512) * 512
+    return -(-length // 4096) * 4096
+
+
+def adaptive_edges(num_seqs: int):
+    """Fine bucket edges for multi-million-sequence databases, or None
+    to keep the classic DEFAULT_BUCKET_EDGES tiers.
+
+    Bucket-edge granularity trades two padding sources: finer edges cut
+    per-sequence length padding (~step/2 chars each) but add buckets,
+    and every bucket's last tile carries ~NS/2 dead lanes (~L chars
+    each) plus per-bucket program overhead.  Measured on the v5e chip
+    (round 5, sprot-like log-normal mixes x the 20-query ladder):
+
+    - 5M seqs: 16-step edges 292.4 GCUPS vs classic tiers 279.5 (total
+      padding 10.4% -> 6.2% of DB chars; the padding fully accounts for
+      the resident-scan gap to the equal-length sweep rate);
+    - 500k: 32-step 243.6 vs classic 249.0 — classic WINS;
+    - 200k: 64-step 217.2 vs classic 224.1 — classic wins.
+
+    So fine edges only pay where bucket population dwarfs the per-bucket
+    costs; the cutoff sits between 500k and 5M and is set at 2M."""
+    if num_seqs >= 2_000_000:
+        return list(range(16, CELL_MAX_L + 1, 16))
+    return None
 
 
 def lanes_for_length(L: int) -> int:
@@ -376,8 +398,9 @@ def pack_db(
     position beyond a sequence's real length must carry the dedicated
     padding code instead of the on-disk padding bytes).
     """
-    if edges is None:
-        edges = DEFAULT_BUCKET_EDGES
+    # edges=None flows through to plan_buckets, which picks the
+    # database-size-adaptive fine edges (adaptive_edges) or the classic
+    # tiers; resolving it here would pin the classic tiers forever.
     lengths = np.asarray(db.lengths, dtype=np.int64)
     offsets = np.asarray(db.offsets, dtype=np.int64)
     chars = db.chars
@@ -449,10 +472,10 @@ def plan_buckets(lengths, edges=None):
     equal-L chunks merged — near-100% lane occupancy where fixed edges
     would burn most of a 4096-subject tile.
     """
-    if edges is None:
-        edges = DEFAULT_BUCKET_EDGES
     lengths = np.asarray(lengths, dtype=np.int64)
     n = len(lengths)
+    if edges is None:
+        edges = adaptive_edges(n) or DEFAULT_BUCKET_EDGES
     plan: list[tuple] = []
     start = 0
     for edge in [e for e in edges if e <= CELL_MAX_L]:
@@ -481,7 +504,7 @@ def plan_buckets(lengths, edges=None):
 
 #: Bump when tile layout / bucket selection changes so stale sidecar
 #: caches are ignored.
-PACK_FORMAT_VERSION = 5
+PACK_FORMAT_VERSION = 6
 
 _KERNEL_CODE = {"row": 0, "cell": 1, "col": 2}
 _KERNEL_NAME = {v: k for k, v in _KERNEL_CODE.items()}

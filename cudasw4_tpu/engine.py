@@ -71,6 +71,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: Fused-batch-program DP-work cap, in cells = (batch query rows) x
+#: (cell-bucket chars).  Above it the batch path dispatches each cell
+#: bucket as its own program (see _build_batch_scan_fn): a single fused
+#: program executing for minutes kills the TPU worker — chip-bisected
+#: on the 5M-seq mixed-length config (~2.7e13 cells, ~100+ s, 17 fused
+#: cell kernels -> "TPU worker crashed or restarted"), while the
+#: ~1.4e13-cell sweep-config programs (~46 s) have always been stable.
+BATCH_SPLIT_CELLS = int(float(
+    os.environ.get("CUDASW4_TPU_BATCH_SPLIT_CELLS", 2e13)
+))
+
+
 class SearchEngine(StreamingEngineMixin):
     """One-chip database search engine (multi-chip lives in parallel/;
     the streaming pipeline for DBs beyond device memory lives in
@@ -624,12 +636,30 @@ class SearchEngine(StreamingEngineMixin):
                     t for t, kd in zip(self._bucket_tiles, kinds)
                     if kd != "col"
                 )
-                noncol_parts = iter(
-                    noncol_fn(
-                        qpad, params, noncol_tiles,
-                        self._matrix_flat, self._matrix_f32, exact=exact,
-                    )
+                # Program-size cap (see BATCH_SPLIT_CELLS): a 4-8k-row
+                # query over a near-HBM-capacity database would make
+                # the fused noncol program execute for minutes and kill
+                # the TPU worker; dispatch per bucket above the cap.
+                noncol_chars = sum(
+                    int(np.prod(t.shape)) for t in noncol_tiles
                 )
+                if nq_pad * noncol_chars > BATCH_SPLIT_CELLS:
+                    noncol_parts = iter([
+                        score_bucket(
+                            t, qpad, self._matrix_flat, self._matrix_f32,
+                            params, use_pallas, kd, exact=exact,
+                        )
+                        for t, kd in zip(self._bucket_tiles, kinds)
+                        if kd != "col"
+                    ])
+                else:
+                    noncol_parts = iter(
+                        noncol_fn(
+                            qpad, params, noncol_tiles,
+                            self._matrix_flat, self._matrix_f32,
+                            exact=exact,
+                        )
+                    )
                 from .ops import INTERPRET
 
                 parts = []
@@ -1158,13 +1188,24 @@ class SearchEngine(StreamingEngineMixin):
 
         from .ops import INTERPRET, batch_col_scores
 
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("cell_pre",))
         def batch_fn(queries, qpad_full, params, bucket_tiles, valid,
-                     flat_idx, mat_flat, mat_f32, col_rows=()):
+                     flat_idx, mat_flat, mat_f32, col_rows=(),
+                     cell_rows=(), cell_pre=False):
             per_qb = [[] for _ in range(QB)]
             col_i = 0
+            cell_i = 0
             for tiles, kind in zip(bucket_tiles, kinds):
                 if use_pallas and kind == "cell":
+                    if cell_pre:
+                        # Scored eagerly in run() below (big databases):
+                        # see the program-size cap there.
+                        for qb in range(QB):
+                            per_qb[qb].append(
+                                cell_rows[cell_i][qb].reshape(-1)
+                            )
+                        cell_i += 1
+                        continue
                     s = sw_pallas_cell.score_bucket_pallas_cell_batch(
                         tiles, queries, mat_flat, params,
                         interpret=INTERPRET,
@@ -1224,11 +1265,42 @@ class SearchEngine(StreamingEngineMixin):
                 col_rows.append(tuple(
                     r if r is not None else zero for r in got
                 ))
+            # Program-size cap (round 5): the fused batch program's DP
+            # work is (batch rows) x (cell-bucket chars).  At 5M-seq
+            # mixed-length scale that is a ~100+ s single program
+            # execution fusing 17 big-LUT cell kernels, which KILLS the
+            # TPU worker ("crashed or restarted") even though every
+            # bucket runs fine as its own program (chip-bisected; the
+            # ~46 s sweep-config programs are fine).  Above the
+            # threshold, dispatch each cell bucket as its own program —
+            # XLA async dispatch still pipelines them back-to-back —
+            # and keep only the merge fused.
+            cell_rows = []
+            cell_pre = False
+            if use_pallas:
+                rows_sum = int(np.sum(np.asarray(params)[4 + QB:])) or 1
+                cell_chars = sum(
+                    t.shape[0] * t.shape[1] * t.shape[2] * t.shape[3]
+                    for t, kd in zip(self._bucket_tiles, kinds)
+                    if kd == "cell"
+                )
+                cell_pre = rows_sum * cell_chars > BATCH_SPLIT_CELLS
+            if cell_pre:
+                for tiles, kind in zip(self._bucket_tiles, kinds):
+                    if kind != "cell":
+                        continue
+                    cell_rows.append(
+                        sw_pallas_cell.score_bucket_pallas_cell_batch(
+                            tiles, qdev, self._matrix_flat, pdev,
+                            interpret=INTERPRET,
+                        )
+                    )
             return batch_fn(
                 qdev, qpad_full, pdev,
                 tuple(self._bucket_tiles), self._valid, self._flat_idx,
                 self._matrix_flat, self._matrix_f32,
                 col_rows=tuple(col_rows),
+                cell_rows=tuple(cell_rows), cell_pre=cell_pre,
             )
 
         return run

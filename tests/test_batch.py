@@ -268,3 +268,45 @@ def test_set_database_drops_previous_resident_tiles(rng):
     got = eng.scan(q)
     assert got.scores == want.scores
     assert got.reference_ids == want.reference_ids
+
+
+def test_scan_batch_cell_split_matches_fused(rng, monkeypatch):
+    """Round-5 program-size cap: above BATCH_SPLIT_CELLS the batch path
+    dispatches each cell bucket as its own program (a single fused
+    program executing minutes of DP kills the TPU worker at 5M-seq
+    scale).  Forced on via a threshold of 1, results must be identical
+    to the fused path."""
+    from cudasw4_tpu import engine as engine_mod
+    from cudasw4_tpu import ops
+
+    monkeypatch.setattr(ops, "INTERPRET", True)
+    recs = []
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    for i in range(40):
+        ln = int(rng.integers(5, 120))
+        recs.append((f"p{i}", "".join(aas[c] for c in rng.integers(0, 20, ln))))
+    from cudasw4_tpu.db.fasta import write_fasta
+    from cudasw4_tpu.db.format import load_db, make_db
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "db.fa")
+        write_fasta(fa, recs)
+        make_db(fa, os.path.join(td, "db"))
+        db = load_db(os.path.join(td, "db"))
+        queries = ["".join(aas[c] for c in rng.integers(0, 20, int(n)))
+                   for n in (12, 30, 55)]
+
+        eng = SearchEngine(num_top=5, qcap=64, backend="pallas")
+        eng.set_database(db)
+        fused = [r.scores for r in eng.scan_batch(queries)]
+
+        monkeypatch.setattr(engine_mod, "BATCH_SPLIT_CELLS", 1)
+        eng2 = SearchEngine(num_top=5, qcap=64, backend="pallas")
+        eng2.set_database(db)
+        split = [r.scores for r in eng2.scan_batch(queries)]
+        assert split == fused
+
+        ref = SearchEngine(num_top=5, qcap=64, backend="jnp")
+        ref.set_database(db)
+        want = [r.scores for r in ref.scan_batch(queries)]
+        assert split == want

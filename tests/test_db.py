@@ -401,3 +401,87 @@ def test_tile_store_rebuilds_on_edge_change(tmp_path, rng):
     third = pack_db_to_store(db, p, edges=[64, 128])
     assert [(b.L, b.NS) for b in third.buckets] == \
         [(b.L, b.NS) for b in second.buckets]
+
+
+def test_adaptive_edges_and_tail_granule():
+    """Round-5 padding-waste fix: big databases get finer bucket edges
+    (balancing edge padding vs last-tile dead lanes) and the long tail
+    rounds to the col kernel's 128-column granule instead of the old
+    ~1.2x ladder.  The 5M-seq sprot-like measurement: 10.4% of DB chars
+    were padding under the classic tiers, fully accounting for the
+    resident-scan gap to the equal-length sweep rate."""
+    from cudasw4_tpu.db.packing import (
+        CELL_MAX_L,
+        adaptive_edges,
+        ladder_length,
+        plan_buckets,
+    )
+
+    assert adaptive_edges(10_000) is None          # classic tiers
+    assert adaptive_edges(500_000) is None         # measured: classic wins
+    e16 = adaptive_edges(5_000_000)
+    assert e16[:3] == [16, 32, 48] and e16[-1] == CELL_MAX_L
+
+    assert ladder_length(2100) == 2176      # 128-granule (was 2560)
+    assert ladder_length(4096) == 4096
+    assert ladder_length(7553) == 7680      # was 8192
+    assert ladder_length(9000) == 9216      # 512-granule
+    assert ladder_length(20000) == 20480    # 4096-granule
+
+    # plan_buckets on a synthetic big-n length array picks the fine
+    # edges and 128-granule tail, with every tail L a multiple of 128.
+    rng = np.random.default_rng(0)
+    lengths = np.sort(np.clip(
+        rng.lognormal(5.7, 0.55, size=2_100_000), 20, 9000
+    ).astype(np.int64))
+    plan = plan_buckets(lengths)
+    fine = [L for _s, _e, L, _ns, _k in plan if L <= CELL_MAX_L]
+    assert all(L % 16 == 0 for L in fine)
+    assert len(fine) > 25  # finer than the 17 classic cell edges
+    tail = [L for _s, _e, L, _ns, _k in plan if L > CELL_MAX_L]
+    assert tail and all(L % 128 == 0 for L in tail)
+    # coverage: every sequence fits its bucket
+    for s, e, L, _ns, _k in plan:
+        assert lengths[e - 1] <= L
+    assert plan[0][0] == 0 and plan[-1][1] == len(lengths)
+
+
+def test_adaptive_edges_scan_exact(rng, monkeypatch, tmp_path):
+    """A database packed with the fine adaptive edges returns exactly
+    the same scan results as the classic tiers and the portable
+    scorer (forced on for a small fixture via monkeypatch)."""
+    from cudasw4_tpu import ops
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.db.fasta import write_fasta
+    from cudasw4_tpu.db.format import load_db, make_db
+    from cudasw4_tpu.engine import SearchEngine
+
+    monkeypatch.setattr(ops, "INTERPRET", True)
+    aas = "ARNDCQEGHILKMFPSTWYV"
+    recs = []
+    for i in range(60):
+        ln = int(rng.integers(5, 200))
+        recs.append((f"p{i}", "".join(aas[c] for c in rng.integers(0, 20, ln))))
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    q = "".join(aas[c] for c in rng.integers(0, 20, 64))
+
+    classic = SearchEngine(num_top=8, qcap=64, backend="pallas")
+    classic.set_database(db)
+    want = classic.scan(q)
+
+    monkeypatch.setattr(
+        packing, "adaptive_edges",
+        lambda n: list(range(16, packing.CELL_MAX_L + 1, 16)),
+    )
+    eng = SearchEngine(num_top=8, qcap=64, backend="pallas")
+    eng.set_database(db)
+    assert len(eng.packed.buckets) > len(classic.packed.buckets)
+    got = eng.scan(q)
+    assert got.scores == want.scores
+
+    ref = SearchEngine(num_top=8, qcap=64, backend="jnp")
+    ref.set_database(db)
+    assert got.scores == ref.scan(q).scores

@@ -542,3 +542,44 @@ def test_warmup_via_set_database_flag(tmp_path, rng, monkeypatch):
     eng = SearchEngine(num_top=5, qcap=64, warmup=True)
     eng.set_database(db)
     assert called == [1]
+
+
+def test_long_query_noncol_split_matches_fused(tmp_path, rng, monkeypatch):
+    """The chunked long-query branch's program-size cap: per-bucket
+    dispatch (forced via a threshold of 1) returns results identical to
+    the fused noncol program."""
+    from cudasw4_tpu import engine as engine_mod
+    from cudasw4_tpu import ops
+    from cudasw4_tpu.db import packing
+    from cudasw4_tpu.ops import sw_pallas_col
+
+    monkeypatch.setattr(sw_pallas_col, "LC", 16)
+    monkeypatch.setattr(sw_pallas_col, "NQC", 32)
+    monkeypatch.setattr(packing, "CELL_MAX_L", 64)
+    monkeypatch.setattr(packing, "COL_SPEEDUP", 1e9)
+    monkeypatch.setattr(ops, "INTERPRET", True)
+
+    recs = []
+    for i in range(12):
+        ln = int(rng.integers(10, 127))
+        recs.append(
+            (f"p{i}", "".join(AAS[c] for c in rng.integers(0, 20, ln)))
+        )
+    fa = str(tmp_path / "db.fa")
+    write_fasta(fa, recs)
+    make_db(fa, str(tmp_path / "db"))
+    db = load_db(str(tmp_path / "db"))
+    q = "".join(AAS[c] for c in rng.integers(0, 20, 70))  # 3 NQC chunks
+
+    eng = SearchEngine(num_top=5, qcap=64, backend="pallas")
+    eng.set_database(db)
+    fused = eng.scan(q).scores
+
+    monkeypatch.setattr(engine_mod, "BATCH_SPLIT_CELLS", 1)
+    eng2 = SearchEngine(num_top=5, qcap=64, backend="pallas")
+    eng2.set_database(db)
+    assert eng2.scan(q).scores == fused
+
+    ref = SearchEngine(num_top=5, qcap=64, backend="jnp")
+    ref.set_database(db)
+    assert fused == ref.scan(q).scores

@@ -1,0 +1,72 @@
+"""Trembl-scale streaming rehearsal (round-2 protocol, round-5 re-run).
+
+20M synthetic sprot-like sequences (~6.94G residues — the scale class of
+uniprot_trembl relative to device memory) packed into the disk-backed
+tile store, streamed memmap -> host -> HBM against the 14-query mixed
+batch (the docs/PERFORMANCE.md streaming protocol).  The real-data
+version of this configuration is benchmarks/rundbbenchmark.sh trembl
+(network required); this rehearsal isolates the engine at the same
+scale offline.
+
+Usage:
+  DBBENCH_CACHE=/tmp/dbcache TREMBL_STORE=/tmp/tremblstore \
+  PYTHONPATH=/root/.axon_site:/root/repo python tools/tremblbench.py [reps]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(__file__))
+
+from dbbench import make_sprotlike_db  # noqa: E402
+
+from cudasw4_tpu.engine import SearchEngine  # noqa: E402
+
+N = 20_000_000
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+STORE = os.environ.get("TREMBL_STORE", "/tmp/tremblstore")
+
+
+def main():
+    t0 = time.perf_counter()
+    db = make_sprotlike_db(N)
+    db_chars = float(db.lengths.sum())
+    print(
+        f"DB: {N} seqs, {db_chars / 1e9:.2f}G residues "
+        f"(gen/load {time.perf_counter() - t0:.0f}s)",
+        flush=True,
+    )
+    engine = SearchEngine(num_top=10, verbose=True)
+    t0 = time.perf_counter()
+    os.makedirs(os.path.dirname(STORE) or ".", exist_ok=True)
+    engine.set_database(db, pack_cache=STORE)
+    print(f"set_database: {time.perf_counter() - t0:.0f}s", flush=True)
+    assert engine.streaming, "trembl-scale DB must stream"
+
+    rng = np.random.default_rng(123)
+    qlens = [144, 192, 256, 306, 370, 492, 564, 657, 780, 1024,
+             1500, 2000, 2500, 3000]
+    queries = [rng.integers(0, 20, q).astype(np.int8) for q in qlens]
+    cells = sum(qlens) * db_chars
+
+    print("first pass (incl. compile)...", flush=True)
+    t0 = time.perf_counter()
+    engine.scan_batch(queries)
+    print(f"first pass: {time.perf_counter() - t0:.0f}s", flush=True)
+    best = 0.0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        engine.scan_batch(queries)
+        dt = time.perf_counter() - t0
+        g = cells / 1e9 / dt
+        best = max(best, g)
+        print(f"pass: {dt:.0f}s  {g:.2f} GCUPS", flush=True)
+    print(f"BEST trembl rehearsal: {best:.2f} GCUPS")
+
+
+if __name__ == "__main__":
+    main()
