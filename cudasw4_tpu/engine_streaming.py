@@ -677,19 +677,27 @@ class StreamingEngineMixin:
         axis, so it runs per shard."""
         from .ops.pack5 import CODECS
 
-        if isinstance(chunk, jax.Array):
-            return chunk  # resident prefix chunk: already on device
-        packed = chunk.dtype == np.int32
+        packed = chunk.dtype == jnp.int32 or chunk.dtype == np.int32
         unpack = CODECS[self._stream_codec][3] if packed else None
+        if isinstance(chunk, jax.Array):
+            # Already on device: the resident prefix (int8 tiles) or a
+            # chunk the prefetch worker committed with device_put
+            # (round 5) — packed ones still need the on-device unpack.
+            if packed:
+                return unpack(chunk, tuple(tile_shape))
+            return chunk
         if self._mesh_ndev() > 1:
             xdev = self._put_sharded(chunk)
             return unpack(xdev, tuple(tile_shape)) if packed else xdev
         if packed:
-            # Feed the host array straight to the jitted unpack: the
-            # jit-managed input transfer is the fast path — an explicit
-            # device_put chained into a jit call measured 4x slower on
-            # the tunneled runtime (the execute stalls on the in-flight
-            # donation instead of overlapping it).
+            # Prefetch worker off (CUDASW4_TPU_STREAM_PREFETCH=0): feed
+            # the host array straight to the jitted unpack — better
+            # than an UNFORCED device_put chained into the call, which
+            # measured 4x slower in round 2 (the execute stalled on the
+            # in-flight transfer).  The fast path is the worker-side
+            # FORCED device_put (round 5): the transfer fully overlaps
+            # device compute on a second thread (tools/linkbench.py,
+            # docs/PERFORMANCE.md streaming speed-of-light).
             return unpack(np.ascontiguousarray(chunk), tuple(tile_shape))
         return jax.device_put(chunk)
 
@@ -781,13 +789,34 @@ class StreamingEngineMixin:
                     continue
             return False
 
+        # Single-process: also START the host->device transfer on this
+        # thread (device_put; the returned handle's bytes spool to the
+        # device in the background at the measured link rate while
+        # earlier chunks compute).  The queue's depth gives each
+        # transfer a full chunk-compute of lead time, so the consumer's
+        # execute rarely waits on arrival — unlike round 2's "chain a
+        # device_put straight into the jit call", which had zero lead
+        # and measured 4x slower.  Do NOT force arrival with a read:
+        # a read-back program queues BEHIND the in-flight compute on
+        # the device's single execution stream and drains the pipeline
+        # (measured -15% vs just handing over the in-flight handle).
+        # Mesh chunks keep the consumer-side sharded transfer.  Kill
+        # switch: CUDASW4_TPU_STREAM_DEVPUT=0.
+        devput = (
+            self._mesh_ndev() == 1
+            and os.environ.get("CUDASW4_TPU_STREAM_DEVPUT", "1") == "1"
+        )
+
         def worker():
             try:
                 for b, chunk, sidx in self._stream_chunks():
                     # Force a real copy: a contiguous memmap slice is a
                     # no-copy view, and the point of this thread is to
                     # take the disk page-in off the dispatch thread.
-                    if not put((b, np.array(chunk, copy=True), sidx)):
+                    arr = np.array(chunk, copy=True)
+                    if devput:
+                        arr = jax.device_put(arr)
+                    if not put((b, arr, sidx)):
                         return
                 put(DONE)
             except BaseException as e:  # propagate to the consumer

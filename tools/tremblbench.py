@@ -29,6 +29,11 @@ from cudasw4_tpu.engine import SearchEngine  # noqa: E402
 N = 20_000_000
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 STORE = os.environ.get("TREMBL_STORE", "/tmp/tremblstore")
+#: Device-memory budget: the rehearsal's point is DB >> device memory
+#: (real trembl is ~20G+ residues vs 16 GB HBM; the synthetic 6.94G
+#: would fit), so cap the budget to force the streamed configuration at
+#: the same DB:HBM ratio class.
+BUDGET = int(os.environ.get("TREMBL_BUDGET", str(4 << 30)))
 
 
 def main():
@@ -40,7 +45,9 @@ def main():
         f"(gen/load {time.perf_counter() - t0:.0f}s)",
         flush=True,
     )
-    engine = SearchEngine(num_top=10, verbose=True)
+    engine = SearchEngine(
+        num_top=10, verbose=True, max_device_bytes=BUDGET
+    )
     t0 = time.perf_counter()
     os.makedirs(os.path.dirname(STORE) or ".", exist_ok=True)
     engine.set_database(db, pack_cache=STORE)
