@@ -40,6 +40,7 @@ def derive_tuning(rows) -> dict:
 
     default_u = {
         "cell": sw_pallas_cell.DEFAULT_UNROLL,
+        "cellbatch": sw_pallas_cell.DEFAULT_UNROLL,
         "col": sw_pallas_col.DEFAULT_UNROLL,
     }
     by_key: dict = {}  # (kernel, L, qlen) -> {unroll: gcups}
@@ -72,9 +73,20 @@ def derive_tuning(rows) -> dict:
     if ratios["col"]:
         cfg["col_speedup"] = round(float(np.median(ratios["col"])), 3)
     # Winning unroll per kernel family (mode over per-(L, qlen) winners)
-    # -> the kernels' DEFAULT_UNROLL via apply_tuning.
+    # -> the kernels' DEFAULT_UNROLL via apply_tuning.  For the cell
+    # family, "cellbatch" rows (the multi-query batch kernel) are the
+    # authority when present: the engine's production cell paths are
+    # the batch kernel plus short singles (long singles route to the
+    # col kernel, COL_SINGLE_MIN_ROWS), and the round-5 interleaved A/B
+    # measured the single cell kernel's U8 win (+3.1% at q=2048) on
+    # exactly the regime that routes away, while the batch kernel is
+    # U4/U8-flat (-0.2%) — a single-kernel sweep alone would flip the
+    # default for a path that never runs.
     for fam, key in (("cell", "cell_unroll"), ("col", "col_unroll")):
-        us = [unrolls[k] for k in best if k[0] == fam]
+        fams = (fam,)
+        if fam == "cell" and any(k[0] == "cellbatch" for k in best):
+            fams = ("cellbatch",)
+        us = [unrolls[k] for k in best if k[0] in fams]
         if us:
             vals, counts = np.unique(us, return_counts=True)
             cfg[key] = int(vals[np.argmax(counts)])
@@ -186,7 +198,7 @@ def select_col_geometry(rows, incumbent):
 def run(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     lengths = [128, 256, 512, 1024, 2048]
-    kernels = ["row", "cell", "col"]
+    kernels = ["row", "cell", "cellbatch", "col"]
     unrolls = [2, 4, 8]
     qlens = [512]
     num_chars = 32 << 20  # chars per pseudo db (fixed work per config)
@@ -281,9 +293,23 @@ def run(argv=None) -> int:
             qpad, nq = sw_pallas.prepare_query(q)
             qdev = jnp.asarray(qpad)
             cells = float(n) * L * nq
+            # 16-slot equal-length batch for the "cellbatch" kernel (the
+            # engine's production cell path for batched scans — the
+            # sweep must measure the path the cell_unroll knob actually
+            # runs; see derive_tuning).
+            QBb = 16
+            qb = np.full((QBb, max(256, nq)), 20, np.int32)
+            for bi in range(QBb):
+                qb[bi, :nq] = q
+            qb_dev = jnp.asarray(qb)
+            pb = jnp.asarray(np.concatenate([
+                np.array([0, cfg.gop, cfg.gex, 0], np.int32),
+                np.full(QBb, nq, np.int32), np.zeros(QBb, np.int32),
+            ]))
             for kernel in kernels:
                 for U in unrolls:
                     try:
+                        cells_k = cells
                         nq_pad = -(-nq // U) * U
                         params = jnp.asarray(np.array(
                             [nq, cfg.gop, cfg.gex, nq_pad], dtype=np.int32
@@ -313,6 +339,21 @@ def run(argv=None) -> int:
                                         unroll=U, exact=True,
                                     )
                                 )
+                        elif kernel == "cellbatch":
+                            from ..db.packing import CELL_MAX_L
+
+                            if not on_tpu or L > CELL_MAX_L or L % U:
+                                continue
+                            cells_k = cells * QBb
+
+                            def once(U=U):
+                                return np.asarray(
+                                    sw_pallas_cell
+                                    .score_bucket_pallas_cell_batch(
+                                        tiles_wide, qb_dev, mat_flat, pb,
+                                        unroll=U,
+                                    )
+                                )
                         elif kernel == "col":
                             if L % sw_pallas_col.LC:
                                 continue
@@ -335,7 +376,7 @@ def run(argv=None) -> int:
                             once()
                             times.append(time.perf_counter() - t0)
                         dt = min(times)
-                        gcups = cells / dt / 1e9
+                        gcups = cells_k / dt / 1e9
                         T = Tr if kernel == "row" else Tc
                         print(
                             f"{kernel:>6} {L:>7} {U:>6} {T:>6} {nq:>5}"

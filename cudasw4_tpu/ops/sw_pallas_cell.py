@@ -78,8 +78,17 @@ QCAP_MAX = 131072
 #: Inner-loop unroll (subject positions per VMEM access).  unroll=None in
 #: the entry points resolves to this; tunable per TPU generation via
 #: gridsearch --emit-config (db/packing.apply_tuning clears jit caches
-#: after changing it).
-DEFAULT_UNROLL = 4
+#: after changing it).  8 since round 5: INTERLEAVED paired A/Bs with the
+#: unroll passed as the explicit static arg measured U8 over U4 at
+#: +6.0/+0.8/+3.7/+4.1% (batch kernel, L=128/256/512/768, 16x2048-row
+#: batches) and +2.3/+1.0/-0.2% (single kernel, short queries) — wins or
+#: noise-ties everywhere.  The round-4 "U8 reverses same-day, keep 4"
+#: conclusion came from A/Bs that toggled this module global around
+#: calls WITHOUT the explicit unroll arg: the jit cache is keyed on
+#: unroll=None, so both arms executed whichever program traced first
+#: and the "deltas" were pure run-to-run noise.  Any future unroll
+#: experiment must pass unroll explicitly (or clear the kernel caches).
+DEFAULT_UNROLL = 8
 
 
 def _alphabet_dim(matrix_flat) -> int:
